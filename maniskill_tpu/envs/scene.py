@@ -1,0 +1,220 @@
+"""``ManiSkillScene``: build-time scene construction + runtime state views.
+
+Counterpart of mani_skill/envs/scene.py. The reference manages N sapien
+sub-scenes sharing one PhysX GPU system; here a scene is one physics ``Model``
+(kinematic forest shared by all envs) plus the current batched ``Data``
+pytree. There is no apply/fetch protocol: struct setters functionally update
+``scene.data`` (masked by the partial-reset mask), and the env jit-compiles
+everything into one XLA program.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..physics import ModelBuilder, make_data
+from ..physics.types import DYNAMIC, KINEMATIC, STATIC, FREE, Model
+from ..structs.actor import Actor
+from ..structs.articulation import Articulation, ArticulationJoint
+from ..structs.link import Link
+from ..structs.pose import Pose
+
+
+class ManiSkillScene:
+    def __init__(
+        self,
+        num_envs: int = 1,
+        sim_timestep: float = 0.01,
+        solver_iterations: int = 16,
+        gravity=(0.0, 0.0, -9.81),
+    ):
+        self.num_envs = num_envs
+        self.mb = ModelBuilder(
+            timestep=sim_timestep,
+            gravity=gravity,
+            solver_iterations=solver_iterations,
+        )
+        self.actors: Dict[str, Actor] = {}
+        self.articulations: Dict[str, Articulation] = {}
+        self.sensors: Dict[str, object] = {}
+        self.human_render_cameras: Dict[str, object] = {}
+        self.lights: List[dict] = []
+        self.model: Optional[Model] = None
+        self._data = None
+        self._reset_mask: Optional[jax.Array] = None
+        self._next_seg_id = 1
+
+    # -- build phase -----------------------------------------------------
+    def create_actor_builder(self):
+        from ..building.actor_builder import ActorBuilder
+
+        return ActorBuilder(self)
+
+    def create_articulation_builder(self):
+        from ..building.articulation_builder import ArticulationBuilder
+
+        return ArticulationBuilder(self)
+
+    def create_urdf_loader(self):
+        from ..building.urdf_loader import URDFLoader
+
+        return URDFLoader(self)
+
+    def create_mjcf_loader(self):
+        from ..building.mjcf_loader import MJCFLoader
+
+        return MJCFLoader(self)
+
+    def register_actor(self, actor: Actor):
+        if actor.name in self.actors:
+            raise ValueError(f"duplicate actor name {actor.name!r}")
+        actor.per_scene_id = self._next_seg_id
+        self._next_seg_id += 1
+        self.actors[actor.name] = actor
+        return actor
+
+    def register_articulation(self, art: Articulation):
+        if art.name in self.articulations:
+            raise ValueError(f"duplicate articulation name {art.name!r}")
+        for link in art.links:
+            link.per_scene_id = self._next_seg_id
+            self._next_seg_id += 1
+        self.articulations[art.name] = art
+        return art
+
+    def add_light(self, kind: str, **kwargs):
+        self.lights.append(dict(kind=kind, **kwargs))
+
+    # lighting API parity (scene.py:566-718)
+    def set_ambient_light(self, color):
+        self.add_light("ambient", color=np.asarray(color, np.float32))
+
+    def add_directional_light(self, direction, color=(1, 1, 1), **kw):
+        self.add_light(
+            "directional",
+            direction=np.asarray(direction, np.float32),
+            color=np.asarray(color, np.float32),
+        )
+
+    def add_point_light(self, position, color=(1, 1, 1), **kw):
+        self.add_light(
+            "point",
+            position=np.asarray(position, np.float32),
+            color=np.asarray(color, np.float32),
+        )
+
+    def finalize(self):
+        """Compile builders to the flat Model and wire view indices."""
+        self.model = self.mb.finalize()
+        for actor in self.actors.values():
+            if actor.body_type != STATIC:
+                actor._q_adr = int(self.model.body_q_adr[actor.body_id])
+                actor._dof_adr = int(self.model.body_dof_adr[actor.body_id])
+        for art in self.articulations.values():
+            for j in art.joints:
+                j.q_adr = int(self.model.body_q_adr[j.body_id])
+                j.dof_adr = int(self.model.body_dof_adr[j.body_id])
+            if not art.fixed_root:
+                art.root_q_adr = int(self.model.body_q_adr[art.root.body_id])
+                art.root_dof_adr = int(self.model.body_dof_adr[art.root.body_id])
+            art._finalize_indices()
+        return self.model
+
+    # -- runtime ---------------------------------------------------------
+    @property
+    def data(self):
+        return self._data
+
+    @data.setter
+    def data(self, d):
+        self._data = d
+
+    def bind(self, data):
+        self._data = data
+        return self
+
+    def masked(self, new: jax.Array, cur: jax.Array) -> jax.Array:
+        """Apply the partial-reset mask to a pending write (scene.py:950-986
+        reset-mask semantics, expressed functionally)."""
+        if self._reset_mask is None:
+            return new
+        m = self._reset_mask
+        m = m.reshape(m.shape + (1,) * (new.ndim - 1))
+        return jnp.where(m, new, cur)
+
+    def set_drive_properties(self, dof_adrs, stiffness, damping, force_limit=np.inf):
+        """Update PD gains in the model (controllers call this at setup)."""
+        adr = np.asarray(dof_adrs, np.int32)
+        m = self.model
+        self.model = m.replace(
+            drive_kp=m.drive_kp.at[adr].set(jnp.asarray(stiffness, jnp.float32)),
+            drive_kd=m.drive_kd.at[adr].set(jnp.asarray(damping, jnp.float32)),
+            drive_force_limit=m.drive_force_limit.at[adr].set(
+                jnp.asarray(force_limit, jnp.float32)
+            ),
+        )
+
+    # -- contact queries (scene.py:741-801 parity) -----------------------
+    def _body_ids_of(self, obj) -> List[int]:
+        if isinstance(obj, Actor):
+            return [obj.body_id]
+        if isinstance(obj, Link):
+            return [obj.body_id]
+        if isinstance(obj, Articulation):
+            return [l.body_id for l in obj.links]
+        raise TypeError(type(obj))
+
+    def net_contact_forces_for_bodies(self, body_ids: Sequence[int]) -> jax.Array:
+        c = self._data.contact
+        if c is None or len(c.geom1) == 0:
+            return jnp.zeros((self.num_envs, 3), jnp.float32)
+        gb = np.asarray(self.model.geom_body)
+        b1, b2 = gb[np.asarray(c.geom1)], gb[np.asarray(c.geom2)]
+        ids = set(int(i) for i in body_ids)
+        sign = np.array(
+            [(1.0 if int(b) in ids else 0.0) for b in b2], np.float32
+        ) - np.array([(1.0 if int(b) in ids else 0.0) for b in b1], np.float32)
+        if not np.any(sign):
+            return jnp.zeros((self.num_envs, 3), jnp.float32)
+        imp = c.impulse * jnp.asarray(sign)[None, :, None]
+        return jnp.sum(imp, axis=1) / self.model.timestep
+
+    def get_pairwise_contact_forces(self, obj1, obj2) -> jax.Array:
+        """Force exerted by obj1 on obj2, (B, 3)."""
+        c = self._data.contact
+        if c is None or len(c.geom1) == 0:
+            return jnp.zeros((self.num_envs, 3), jnp.float32)
+        gb = np.asarray(self.model.geom_body)
+        b1, b2 = gb[np.asarray(c.geom1)], gb[np.asarray(c.geom2)]
+        a = set(self._body_ids_of(obj1))
+        b = set(self._body_ids_of(obj2))
+        sign = np.zeros(len(b1), np.float32)
+        for i in range(len(b1)):
+            if int(b1[i]) in a and int(b2[i]) in b:
+                sign[i] = 1.0  # impulse acts on body2 (obj2)
+            elif int(b1[i]) in b and int(b2[i]) in a:
+                sign[i] = -1.0  # reaction
+        if not np.any(sign):
+            return jnp.zeros((self.num_envs, 3), jnp.float32)
+        imp = c.impulse * jnp.asarray(sign)[None, :, None]
+        return jnp.sum(imp, axis=1) / self.model.timestep
+
+    # -- sim state registry (scene.py:824-897 parity) --------------------
+    def get_sim_state(self) -> Dict:
+        state = dict(actors={}, articulations={})
+        for name, actor in self.actors.items():
+            if actor.is_static:
+                continue
+            state["actors"][name] = actor.get_state()
+        for name, art in self.articulations.items():
+            state["articulations"][name] = art.get_state()
+        return state
+
+    def set_sim_state(self, state: Dict):
+        for name, s in state.get("actors", {}).items():
+            self.actors[name].set_state(s)
+        for name, s in state.get("articulations", {}).items():
+            self.articulations[name].set_state(s)

@@ -1,0 +1,309 @@
+"""Batched analytic narrowphase for primitive geoms.
+
+Replaces PhysX's PCM/convex collision (SURVEY.md §2.1) with static-shape,
+branch-free contact generation: every candidate pair (precomputed at model
+build — the compile-time analog of PhysX's found_lost_pairs_capacity) expands
+to a *fixed* number of candidate contact points; invalid points carry
+depth << 0 and are masked in the solver. All functions are batched over envs.
+
+Conventions:
+- ``normal`` points from geom1 toward geom2 = the direction to push geom2 to
+  separate. Impulse +λ·n acts on body(geom2), −λ·n on body(geom1).
+- ``depth`` > 0 means penetration.
+- Pairs are ordered so geom_type[g1] <= geom_type[g2].
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.geometry import rotation_conversions as rc
+from .types import BOX, CAPSULE, CYLINDER, PLANE, SPHERE, Contact, Data, Model
+from .kinematics import geom_poses
+
+# A contact candidate: (pos (B,3), normal (B,3), depth (B,))
+Cand = Tuple[jax.Array, jax.Array, jax.Array]
+
+BAD_DEPTH = -1e6
+
+
+def _to_local(p, gpos, gquat):
+    return rc.quaternion_apply(rc.quaternion_conjugate(gquat), p - gpos)
+
+
+def _from_local_dir(d, gquat):
+    return rc.quaternion_apply(gquat, d)
+
+
+def _box_sdf_local(p: jax.Array, half: jax.Array):
+    """Signed distance + outward normal of a box at local point(s) p.
+
+    p: (..., 3), half: (..., 3). Returns (dist (...,), normal (..., 3)).
+    """
+    q = jnp.abs(p) - half
+    outside = jnp.maximum(q, 0.0)
+    dist_out = jnp.linalg.norm(outside, axis=-1)
+    max_q = jnp.max(q, axis=-1)
+    dist_in = jnp.minimum(max_q, 0.0)
+    dist = dist_out + dist_in
+
+    # outward normal: outside -> gradient of ||max(q,0)||; inside -> axis of
+    # least penetration, signed by the point's octant.
+    n_out = outside / jnp.maximum(dist_out[..., None], 1e-9)
+    axis = jnp.argmax(q, axis=-1)
+    n_in = jax.nn.one_hot(axis, 3, dtype=p.dtype)
+    n = jnp.where((dist_out > 0.0)[..., None], n_out, n_in)
+    n = n * jnp.sign(jnp.where(p == 0.0, 1.0, p))
+    # renormalize (sign() can zero a component exactly on a face center)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+    return dist, n
+
+
+def _plane_normal(gquat):
+    z = jnp.zeros_like(gquat[..., :3]).at[..., 2].set(1.0)
+    return rc.quaternion_apply(gquat, z)
+
+
+def _plane_height(p, gpos, n):
+    """Signed height of point(s) above the plane."""
+    return jnp.sum((p - gpos) * n, axis=-1)
+
+
+def plane_sphere(p1, q1, s1, p2, q2, s2) -> List[Cand]:
+    n = _plane_normal(q1)
+    r = s2[..., 0]
+    h = _plane_height(p2, p1, n)
+    depth = r - h
+    pos = p2 - n * h[..., None]
+    return [(pos, n, depth)]
+
+
+def plane_box(p1, q1, s1, p2, q2, s2) -> List[Cand]:
+    n = _plane_normal(q1)
+    out = []
+    for sx in (-1.0, 1.0):
+        for sy in (-1.0, 1.0):
+            for sz in (-1.0, 1.0):
+                corner_l = s2 * jnp.asarray([sx, sy, sz], s2.dtype)
+                corner = p2 + rc.quaternion_apply(q2, corner_l)
+                h = _plane_height(corner, p1, n)
+                out.append((corner, n, -h))
+    return out
+
+
+def plane_capsule(p1, q1, s1, p2, q2, s2) -> List[Cand]:
+    n = _plane_normal(q1)
+    r, hl = s2[..., 0], s2[..., 1]
+    axis = rc.quaternion_apply(q2, jnp.zeros_like(p2).at[..., 2].set(1.0))
+    out = []
+    for sgn in (-1.0, 1.0):
+        end = p2 + axis * (sgn * hl)[..., None]
+        h = _plane_height(end, p1, n)
+        out.append((end - n * h[..., None], n, r - h))
+    return out
+
+
+def plane_cylinder(p1, q1, s1, p2, q2, s2) -> List[Cand]:
+    """Sample 4 rim points per cap (8 candidates)."""
+    n = _plane_normal(q1)
+    r, hl = s2[..., 0:1], s2[..., 1:2]
+    R = rc.quaternion_to_matrix(q2)
+    ax, ay, az = R[..., :, 0], R[..., :, 1], R[..., :, 2]
+    # radial direction most aligned with -n (deepest) plus 3 more around
+    out = []
+    for sgn in (-1.0, 1.0):
+        cap = p2 + az * (sgn * hl)
+        for ca, cb in ((1.0, 0.0), (-1.0, 0.0), (0.0, 1.0), (0.0, -1.0)):
+            pt = cap + ax * (r * ca) + ay * (r * cb)
+            h = _plane_height(pt, p1, n)
+            out.append((pt, n, -h))
+    return out
+
+
+def sphere_sphere(p1, q1, s1, p2, q2, s2) -> List[Cand]:
+    d = p2 - p1
+    dist = jnp.linalg.norm(d, axis=-1)
+    n = d / jnp.maximum(dist[..., None], 1e-9)
+    depth = s1[..., 0] + s2[..., 0] - dist
+    pos = p1 + n * (s1[..., 0:1] - 0.5 * depth[..., None])
+    return [(pos, n, depth)]
+
+
+def _sphere_vs_box(center, radius, bp, bq, bs) -> Cand:
+    """Sphere (geom1-side) vs box (geom2-side): normal pushes the BOX away."""
+    local = _to_local(center, bp, bq)
+    dist, n_l = _box_sdf_local(local, bs)
+    depth = radius - dist
+    n_w = _from_local_dir(n_l, bq)
+    # n_w points from box surface toward sphere center; push box the other way
+    pos = center - n_w * jnp.clip(dist, -radius, radius)[..., None]
+    return (pos, -n_w, depth)
+
+
+def sphere_box(p1, q1, s1, p2, q2, s2) -> List[Cand]:
+    return [_sphere_vs_box(p1, s1[..., 0], p2, q2, s2)]
+
+
+def sphere_capsule(p1, q1, s1, p2, q2, s2) -> List[Cand]:
+    r2, hl = s2[..., 0], s2[..., 1]
+    axis = rc.quaternion_apply(q2, jnp.zeros_like(p2).at[..., 2].set(1.0))
+    t = jnp.clip(jnp.sum((p1 - p2) * axis, axis=-1), -hl, hl)
+    c = p2 + axis * t[..., None]
+    d = c - p1
+    dist = jnp.linalg.norm(d, axis=-1)
+    n = d / jnp.maximum(dist[..., None], 1e-9)
+    depth = s1[..., 0] + r2 - dist
+    pos = p1 + n * (s1[..., 0:1] - 0.5 * depth[..., None])
+    return [(pos, n, depth)]
+
+
+def box_box(p1, q1, s1, p2, q2, s2) -> List[Cand]:
+    """Corner-vs-SDF both directions: up to 16 candidates (face/vertex cases)."""
+    out = []
+    corners = [
+        jnp.asarray([sx, sy, sz], jnp.float32)
+        for sx in (-1.0, 1.0)
+        for sy in (-1.0, 1.0)
+        for sz in (-1.0, 1.0)
+    ]
+    # corners of box2 against box1 SDF: push geom2 out of geom1 -> n = +n_w
+    for c in corners:
+        corner = p2 + rc.quaternion_apply(q2, s2 * c)
+        local = _to_local(corner, p1, q1)
+        dist, n_l = _box_sdf_local(local, s1)
+        n_w = _from_local_dir(n_l, q1)
+        out.append((corner, n_w, -dist))
+    # corners of box1 against box2 SDF: push geom1 out along n_w -> n = -n_w
+    for c in corners:
+        corner = p1 + rc.quaternion_apply(q1, s1 * c)
+        local = _to_local(corner, p2, q2)
+        dist, n_l = _box_sdf_local(local, s2)
+        n_w = _from_local_dir(n_l, q2)
+        out.append((corner, -n_w, -dist))
+    return out
+
+
+def box_capsule(p1, q1, s1, p2, q2, s2) -> List[Cand]:
+    """Capsule segment sampled at ends + middle, each as sphere-vs-box."""
+    r, hl = s2[..., 0], s2[..., 1]
+    axis = rc.quaternion_apply(q2, jnp.zeros_like(p2).at[..., 2].set(1.0))
+    out = []
+    for t in (-1.0, 0.0, 1.0):
+        center = p2 + axis * (t * hl)[..., None]
+        pos, n, depth = _sphere_vs_box(center, r, p1, q1, s1)
+        # _sphere_vs_box treats the sphere as geom1; here the capsule is
+        # geom2, so flip the normal back.
+        out.append((pos, -n, depth))
+    return out
+
+
+def capsule_capsule(p1, q1, s1, p2, q2, s2) -> List[Cand]:
+    r1, h1 = s1[..., 0], s1[..., 1]
+    r2, h2 = s2[..., 0], s2[..., 1]
+    a1 = rc.quaternion_apply(q1, jnp.zeros_like(p1).at[..., 2].set(1.0))
+    a2 = rc.quaternion_apply(q2, jnp.zeros_like(p2).at[..., 2].set(1.0))
+    # closest points between segments (batched, clamped coordinates)
+    d = p2 - p1
+    a1d = jnp.sum(a1 * d, axis=-1)
+    a2d = jnp.sum(a2 * d, axis=-1)
+    a12 = jnp.sum(a1 * a2, axis=-1)
+    denom = 1.0 - a12 * a12
+    t1 = jnp.where(denom > 1e-6, (a1d - a12 * a2d) / jnp.maximum(denom, 1e-6), 0.0)
+    t1 = jnp.clip(t1, -h1, h1)
+    t2 = jnp.clip(jnp.sum((p1 + a1 * t1[..., None] - p2) * a2, axis=-1), -h2, h2)
+    t1 = jnp.clip(jnp.sum((p2 + a2 * t2[..., None] - p1) * a1, axis=-1), -h1, h1)
+    c1 = p1 + a1 * t1[..., None]
+    c2 = p2 + a2 * t2[..., None]
+    delta = c2 - c1
+    dist = jnp.linalg.norm(delta, axis=-1)
+    n = delta / jnp.maximum(dist[..., None], 1e-9)
+    depth = r1 + r2 - dist
+    pos = c1 + n * (r1[..., None] - 0.5 * depth[..., None])
+    return [(pos, n, depth)]
+
+
+_DISPATCH = {
+    (PLANE, SPHERE): plane_sphere,
+    (PLANE, BOX): plane_box,
+    (PLANE, CAPSULE): plane_capsule,
+    (PLANE, CYLINDER): plane_cylinder,
+    (SPHERE, SPHERE): sphere_sphere,
+    (SPHERE, BOX): sphere_box,
+    (SPHERE, CAPSULE): sphere_capsule,
+    (BOX, BOX): box_box,
+    (BOX, CAPSULE): box_capsule,
+    (CAPSULE, CAPSULE): capsule_capsule,
+    # cylinders only collide with planes for now (used for drive wheels etc.)
+}
+
+
+def contacts_per_pair(t1: int, t2: int) -> int:
+    fn_points = {
+        (PLANE, SPHERE): 1,
+        (PLANE, BOX): 8,
+        (PLANE, CAPSULE): 2,
+        (PLANE, CYLINDER): 8,
+        (SPHERE, SPHERE): 1,
+        (SPHERE, BOX): 1,
+        (SPHERE, CAPSULE): 1,
+        (BOX, BOX): 16,
+        (BOX, CAPSULE): 3,
+        (CAPSULE, CAPSULE): 1,
+    }
+    return fn_points.get((t1, t2), 0)
+
+
+def collide(model: Model, data: Data) -> Contact:
+    """Run narrowphase for all candidate pairs -> static-shape Contact set."""
+    B = data.batch_size
+    gpos, gquat = geom_poses(model, data)
+    size = model.geom_size
+    if size.ndim == 2:
+        size = jnp.broadcast_to(size, (B,) + size.shape)
+    fric = model.geom_friction
+    if fric.ndim == 1:
+        fric = jnp.broadcast_to(fric, (B,) + fric.shape)
+
+    pos_l, n_l, d_l, f_l, g1_l, g2_l = [], [], [], [], [], []
+    for g1, g2 in zip(model.pair_geom1, model.pair_geom2):
+        g1, g2 = int(g1), int(g2)
+        t1, t2 = int(model.geom_type[g1]), int(model.geom_type[g2])
+        fn = _DISPATCH.get((t1, t2))
+        if fn is None:
+            continue
+        cands = fn(
+            gpos[:, g1], gquat[:, g1], size[:, g1],
+            gpos[:, g2], gquat[:, g2], size[:, g2],
+        )
+        mu = 0.5 * (fric[:, g1] + fric[:, g2])
+        for (cp, cn, cd) in cands:
+            pos_l.append(cp)
+            n_l.append(cn)
+            d_l.append(cd)
+            f_l.append(mu)
+            g1_l.append(g1)
+            g2_l.append(g2)
+
+    if not pos_l:
+        return Contact(
+            geom1=np.zeros(0, np.int32),
+            geom2=np.zeros(0, np.int32),
+            pos=jnp.zeros((B, 0, 3), jnp.float32),
+            normal=jnp.zeros((B, 0, 3), jnp.float32),
+            depth=jnp.zeros((B, 0), jnp.float32),
+            friction=jnp.zeros((B, 0), jnp.float32),
+            impulse=jnp.zeros((B, 0, 3), jnp.float32),
+        )
+
+    return Contact(
+        geom1=np.asarray(g1_l, np.int32),
+        geom2=np.asarray(g2_l, np.int32),
+        pos=jnp.stack(pos_l, axis=1),
+        normal=jnp.stack(n_l, axis=1),
+        depth=jnp.stack(d_l, axis=1),
+        friction=jnp.stack(f_l, axis=1),
+        impulse=jnp.zeros((B, len(pos_l), 3), jnp.float32),
+    )

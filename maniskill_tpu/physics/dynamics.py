@@ -1,0 +1,207 @@
+"""Smooth (contact-free) dynamics: mass matrix, bias forces, PD actuation.
+
+Replaces the reference's PhysX articulation dynamics (SURVEY.md §2.1) with a
+batched composite-rigid-body formulation expressed through COM Jacobians:
+
+    M(q)      = Σ_b J_lin^T m_b J_lin + J_rot^T I_b J_rot
+    c(q, qd)  = Σ_b J_lin·m_b(a_com_bias - g) + J_rot·(I α_bias + ω×(I ω))
+
+which lowers to batched einsums (MXU-friendly) instead of sequential spatial
+algebra. nv is small (≈10-30) so the O(nv²) terms are negligible; the batch
+axis (num_envs) provides the vector width.
+
+PD joint drives (the reference's joint drive force mode,
+mani_skill/utils/structs/articulation_joint.py:187-195) are applied as
+explicit torque with *implicit* damping: the kd (and dof damping) terms are
+added to the LHS diagonal, (M + h·diag(kd + damping)) qacc = τ, which keeps
+stiff gains stable at the 100 Hz default timestep.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.geometry import rotation_conversions as rc
+from .types import FIXED, FREE, HINGE, SLIDE, Data, Model
+from .kinematics import body_com, body_jacobians, dof_frames
+
+
+def bias_accelerations(model: Model, data: Data) -> Tuple[jax.Array, jax.Array]:
+    """Velocity-product (qacc = 0) accelerations of each body.
+
+    Returns (a_origin (B, nbody, 3), alpha (B, nbody, 3)) in world frame.
+    """
+    B = data.batch_size
+    a = [jnp.zeros((B, 3), jnp.float32)]
+    al = [jnp.zeros((B, 3), jnp.float32)]
+    for b in range(1, model.nbody):
+        p = int(model.body_parent[b])
+        jt = int(model.body_jnt_type[b])
+        va = int(model.body_dof_adr[b])
+        if jt == FREE:
+            a.append(jnp.zeros((B, 3), jnp.float32))
+            al.append(jnp.zeros((B, 3), jnp.float32))
+            continue
+        r = data.xpos[:, b] - data.xpos[:, p]
+        om_p = data.cvel[:, p, 3:]
+        v_rel = data.cvel[:, b, :3] - data.cvel[:, p, :3]
+        a_b = a[p] + jnp.cross(al[p], r) + jnp.cross(om_p, v_rel)
+        al_b = al[p]
+        if jt != FIXED:
+            qd = data.qvel[:, va : va + 1]
+            axis_w = _joint_world_axis(model, data, b)
+            if jt == HINGE:
+                al_b = al_b + jnp.cross(om_p, axis_w * qd)
+            else:  # SLIDE: extra coriolis 2 w x s qd -> one extra (w x s) qd
+                a_b = a_b + jnp.cross(om_p, axis_w * qd)
+        a.append(a_b)
+        al.append(al_b)
+    return jnp.stack(a, axis=1), jnp.stack(al, axis=1)
+
+
+def _joint_world_axis(model: Model, data: Data, b: int) -> jax.Array:
+    from .kinematics import _bget
+
+    B = data.batch_size
+    axis_l = jnp.broadcast_to(_bget(model.jnt_axis, b), (B, 3))
+    return rc.quaternion_apply(data.xquat[:, b], axis_l)
+
+
+def world_inertia(model: Model, data: Data) -> jax.Array:
+    """World-frame 3x3 rotational inertia about COM for each body: (B, nb, 3, 3)."""
+    B = data.batch_size
+    nb = model.nbody
+    iquat = model.body_iquat if model.body_iquat.ndim == 3 else jnp.broadcast_to(model.body_iquat, (B, nb, 4))
+    q = rc.quaternion_multiply(data.xquat, iquat)  # world <- inertial frame
+    R = rc.quaternion_to_matrix(q)  # (B, nb, 3, 3)
+    diag = model.body_inertia if model.body_inertia.ndim == 3 else jnp.broadcast_to(model.body_inertia, (B, nb, 3))
+    return jnp.einsum("...ij,...j,...kj->...ik", R, diag, R)
+
+
+def mass_matrix_and_bias(
+    model: Model, data: Data
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Returns (M (B,nv,nv), qfrc_bias (B,nv), jac_lin, jac_rot).
+
+    qfrc_bias includes gravity and velocity-product terms; equations of motion
+    are M qacc = tau - qfrc_bias.
+    """
+    B = data.batch_size
+    nb, nv = model.nbody, model.nv
+    dof_axis, dof_anchor = dof_frames(model, data)
+    jac_lin, jac_rot = body_jacobians(model, data, dof_axis, dof_anchor)  # (B, nb, nv, 3)
+
+    mass = model.body_mass if model.body_mass.ndim == 2 else jnp.broadcast_to(model.body_mass, (B, nb))
+    Iw = world_inertia(model, data)  # (B, nb, 3, 3)
+
+    M = jnp.einsum("bndi,bn,bnei->bde", jac_lin, mass, jac_lin)
+    M = M + jnp.einsum("bndi,bnij,bnej->bde", jac_rot, Iw, jac_rot)
+
+    # bias accelerations at body origins -> at COMs
+    a0, al0 = bias_accelerations(model, data)
+    com = body_com(model, data)
+    rc_ = com - data.xpos
+    om = data.cvel[:, :, 3:]
+    a_com = a0 + jnp.cross(al0, rc_) + jnp.cross(om, jnp.cross(om, rc_))
+    g = model.gravity  # (3,)
+    f_lin = mass[..., None] * (a_com - g)  # (B, nb, 3)
+    Iw_om = jnp.einsum("bnij,bnj->bni", Iw, om)
+    f_rot = jnp.einsum("bnij,bnj->bni", Iw, al0) + jnp.cross(om, Iw_om)
+    qfrc_bias = jnp.einsum("bndi,bni->bd", jac_lin, f_lin) + jnp.einsum(
+        "bndi,bni->bd", jac_rot, f_rot
+    )
+    return M, qfrc_bias, jac_lin, jac_rot
+
+
+def actuation(model: Model, data: Data) -> jax.Array:
+    """PD drive torque (explicit part), clipped to force limits."""
+    kp = model.drive_kp
+    kd = model.drive_kd
+    limit = model.drive_force_limit
+    # joint-space positions for 1-dof joints live at q_adr aligned with dof;
+    # builder guarantees qpos[dof_to_q] mapping via dof_q_adr
+    q = joint_positions(model, data)
+    tau = kp * (data.drive_target - q) + kd * (data.drive_vel_target - data.qvel)
+    tau = jnp.clip(tau, -limit, limit)
+    return tau
+
+
+def joint_positions(model: Model, data: Data) -> jax.Array:
+    """(B, nv) vector of per-dof positions (free-joint dofs read as 0)."""
+    cols = []
+    B = data.batch_size
+    zero = jnp.zeros((B,), jnp.float32)
+    for b in range(model.nbody):
+        jt = int(model.body_jnt_type[b])
+        qa = int(model.body_q_adr[b])
+        if jt == FREE:
+            cols.extend([zero] * 6)
+        elif jt in (HINGE, SLIDE):
+            cols.append(data.qpos[:, qa])
+    if not cols:
+        return jnp.zeros((B, 0), jnp.float32)
+    return jnp.stack(cols, axis=1)
+
+
+def smooth_dynamics(model: Model, data: Data):
+    """Compute LHS factorization and the unconstrained velocity prediction.
+
+    Returns (chol (B,nv,nv) cholesky of M_imp, qvel_pred (B,nv), jac_lin, jac_rot).
+    """
+    h = model.timestep
+    M, qfrc_bias, jac_lin, jac_rot = mass_matrix_and_bias(model, data)
+    tau = actuation(model, data) + data.qf_applied
+    # external body wrenches -> generalized forces
+    tau = tau + jnp.einsum("bndi,bni->bd", jac_lin, data.xfrc_applied[:, :, :3])
+    tau = tau + jnp.einsum("bndi,bni->bd", jac_rot, data.xfrc_applied[:, :, 3:])
+
+    # implicit terms on the diagonal: armature + h*(drive kd + dof damping)
+    diag = model.dof_armature + h * (model.drive_kd + model.dof_damping)
+    # kinematic FREE bodies own dofs that must not be integrated by dynamics;
+    # they also carry zero rows in M (excluded from jacobians), so pin their
+    # diagonal to keep the factorization SPD.
+    kin_mask = _kinematic_dof_mask(model)
+    diag = diag + kin_mask
+    M_imp = M + _diag_embed(jnp.broadcast_to(diag, (data.batch_size, model.nv)))
+    # explicit dof damping force (the implicit diag handles stability)
+    tau = tau - model.dof_damping * data.qvel
+
+    chol = jnp.linalg.cholesky(M_imp)
+    rhs = tau - qfrc_bias
+    qacc = cho_solve(chol, rhs)
+    qacc = qacc * (1.0 - kin_mask)
+    qvel_pred = data.qvel + h * qacc
+    return chol, qvel_pred, qacc, jac_lin, jac_rot
+
+
+def _diag_embed(d: jax.Array) -> jax.Array:
+    n = d.shape[-1]
+    out = jnp.zeros(d.shape + (n,), d.dtype)
+    idx = jnp.arange(n)
+    return out.at[..., idx, idx].set(d)
+
+
+def _kinematic_dof_mask(model: Model) -> jax.Array:
+    import numpy as np
+
+    mask = np.zeros(model.nv, np.float32)
+    for b in range(model.nbody):
+        if model.body_type[b] == 1:  # KINEMATIC
+            va = int(model.body_dof_adr[b])
+            nvj = {0: 6, 1: 1, 2: 1, 3: 0}[int(model.body_jnt_type[b])]
+            mask[va : va + nvj] = 1.0
+    return jnp.asarray(mask)
+
+
+def cho_solve(chol: jax.Array, rhs: jax.Array) -> jax.Array:
+    """Batched triangular solve with lower-Cholesky factor; rhs (B, nv) or (B, nv, k)."""
+    vec = rhs.ndim == chol.ndim - 1
+    if vec:
+        rhs = rhs[..., None]
+    y = jax.scipy.linalg.solve_triangular(chol, rhs, lower=True)
+    x = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(chol, -1, -2), y, lower=False
+    )
+    return x[..., 0] if vec else x

@@ -1,0 +1,69 @@
+"""Physics step: the pure function the whole framework revolves around.
+
+``step(model, data) -> data`` replaces the reference's
+``px.step()`` + apply/fetch buffer protocol (SURVEY.md §2.2): there are no
+host↔device copies, no staging buffers — state stays in HBM, and an env step
+is ``lax.scan`` of substeps compiled into one XLA program together with
+controllers, observation, and reward.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.geometry import rotation_conversions as rc
+from .types import FIXED, FREE, HINGE, SLIDE, Contact, Data, Model
+from .collision import collide
+from .dynamics import smooth_dynamics
+from .kinematics import forward_kinematics
+from .solver import solve
+
+
+def forward(model: Model, data: Data) -> Data:
+    """Refresh derived quantities (FK + contacts) without advancing time.
+
+    The equivalent of the reference's ``gpu_update_articulation_kinematics`` +
+    ``gpu_fetch_*`` after writing qpos (mani_skill/envs/sapien_env.py:956-960).
+    """
+    data = forward_kinematics(model, data)
+    data = data.replace(contact=collide(model, data))
+    return data
+
+
+def step(model: Model, data: Data) -> Data:
+    """Advance one physics substep (semi-implicit Euler)."""
+    h = model.timestep
+    data = forward_kinematics(model, data)
+    chol, qvel_pred, qacc, jac_lin, jac_rot = smooth_dynamics(model, data)
+    contact = collide(model, data)
+    qvel_new, contact = solve(model, data, chol, qvel_pred, contact)
+
+    qpos_new = integrate_qpos(model, data.qpos, qvel_new, h)
+    return data.replace(
+        qpos=qpos_new,
+        qvel=qvel_new,
+        qacc=qacc,
+        contact=contact,
+        # one-shot external forces are consumed by the step (PhysX semantics)
+        qf_applied=jnp.zeros_like(data.qf_applied),
+        xfrc_applied=jnp.zeros_like(data.xfrc_applied),
+    )
+
+
+def integrate_qpos(model: Model, qpos: jax.Array, qvel: jax.Array, h: float) -> jax.Array:
+    """Semi-implicit Euler position update (exact quaternion exp for rotations)."""
+    out = qpos
+    for b in range(model.nbody):
+        jt = int(model.body_jnt_type[b])
+        qa = int(model.body_q_adr[b])
+        va = int(model.body_dof_adr[b])
+        if jt == FREE:
+            p = qpos[:, qa : qa + 3] + h * qvel[:, va : va + 3]
+            q = rc.integrate_quaternion(
+                qpos[:, qa + 3 : qa + 7], qvel[:, va + 3 : va + 6], h
+            )
+            out = out.at[:, qa : qa + 3].set(p)
+            out = out.at[:, qa + 3 : qa + 7].set(q)
+        elif jt in (HINGE, SLIDE):
+            out = out.at[:, qa].set(qpos[:, qa] + h * qvel[:, va])
+    return out

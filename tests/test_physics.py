@@ -1,0 +1,274 @@
+"""Unit tests for the physics engine on analytic cases.
+
+The reference has no physics unit layer (physics is trusted to PhysX,
+SURVEY.md §4); a pure-JAX engine lets us test pendulum dynamics, free fall,
+energy behavior, and contact resting directly.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from maniskill_tpu import physics as phys
+from maniskill_tpu.physics import (
+    BOX,
+    DYNAMIC,
+    FREE,
+    HINGE,
+    KINEMATIC,
+    PLANE,
+    SPHERE,
+    STATIC,
+    ModelBuilder,
+    make_data,
+)
+
+
+def n_steps(model, data, n):
+    step = jax.jit(lambda d: phys.step(model, d))
+    for _ in range(n):
+        data = step(data)
+    return data
+
+
+def test_free_fall():
+    mb = ModelBuilder(timestep=0.01)
+    b = mb.add_body("ball", jnt_type=FREE, mass=1.0)
+    mb.add_geom(b, SPHERE, [0.1], collision=False)
+    model = mb.finalize()
+    data = make_data(model, 4)
+    data = data.replace(qpos=data.qpos.at[:, 2].set(10.0))
+    t = 0.5
+    data = n_steps(model, data, 50)
+    # semi-implicit euler: z = z0 - g*h^2*(n(n+1)/2)
+    expected = 10.0 - 9.81 * 0.01**2 * (50 * 51 / 2)
+    np.testing.assert_allclose(data.qpos[:, 2], expected, rtol=1e-4)
+    np.testing.assert_allclose(data.qvel[:, 2], -9.81 * t, rtol=1e-4)
+
+
+def test_pendulum_period():
+    """Point-mass pendulum, small oscillations: T = 2*pi*sqrt(L/g)."""
+    L = 1.0
+    mb = ModelBuilder(timestep=0.001)
+    b = mb.add_body(
+        "rod",
+        jnt_type=HINGE,
+        jnt_axis=(0, 1, 0),
+        pos=(0, 0, 1.0),
+        mass=1.0,
+        ipos=(0, 0, -L),
+        inertia=(1e-8, 1e-8, 1e-8),
+    )
+    model = mb.finalize()
+    data = make_data(model, 1)
+    theta0 = 0.05
+    data = data.replace(qpos=data.qpos.at[:, 0].set(theta0))
+
+    period = 2 * np.pi * np.sqrt(L / 9.81)
+    data = n_steps(model, data, int(period / 0.001))
+    # after one full period, angle should be back near theta0
+    np.testing.assert_allclose(data.qpos[0, 0], theta0, atol=2e-3)
+
+
+def test_pendulum_energy_conservation():
+    L = 0.7
+    mb = ModelBuilder(timestep=0.001)
+    b = mb.add_body(
+        "rod",
+        jnt_type=HINGE,
+        jnt_axis=(0, 1, 0),
+        pos=(0, 0, 1.0),
+        mass=2.0,
+        ipos=(0, 0, -L),
+        inertia=(1e-8, 1e-8, 1e-8),
+    )
+    model = mb.finalize()
+    data = make_data(model, 1)
+    data = data.replace(qpos=data.qpos.at[:, 0].set(1.0))
+
+    def energy(d):
+        d = phys.forward(model, d)
+        theta = d.qpos[0, 0]
+        omega = d.qvel[0, 0]
+        h = 1.0 - L * jnp.cos(theta)
+        return float(2.0 * 9.81 * h + 0.5 * 2.0 * (L * omega) ** 2)
+
+    e0 = energy(data)
+    data = n_steps(model, data, 1000)
+    e1 = energy(data)
+    assert abs(e1 - e0) / e0 < 0.02
+
+
+def test_double_pendulum_matches_lagrangian():
+    """2-link planar pendulum acceleration at rest vs analytic solution."""
+    mb = ModelBuilder(timestep=0.001)
+    l1 = mb.add_body(
+        "l1", jnt_type=HINGE, jnt_axis=(0, 1, 0), pos=(0, 0, 2.0),
+        mass=1.0, ipos=(0, 0, -0.5), inertia=(1e-8, 1e-8, 1e-8),
+    )
+    l2 = mb.add_body(
+        "l2", parent=l1, jnt_type=HINGE, jnt_axis=(0, 1, 0), pos=(0, 0, -0.5),
+        mass=1.0, ipos=(0, 0, -0.5), inertia=(1e-8, 1e-8, 1e-8),
+    )
+    model = mb.finalize()
+    data = make_data(model, 1)
+    # tilt both from vertical; with both point masses, compare qacc to
+    # the textbook double-pendulum equations
+    th1, th2 = 0.3, -0.2
+    data = data.replace(qpos=jnp.array([[th1, th2]], jnp.float32))
+    data = phys.step(model, data)
+    qacc = np.asarray(data.qacc[0])
+
+    # analytic (m1=m2=1, l1=l2=0.5 (COM at rod end), g=9.81), standard
+    # equations with absolute angles a1=th1, a2=th1+th2 measured from -z
+    m1 = m2 = 1.0
+    L1 = L2 = 0.5
+    g = 9.81
+    a1, a2 = th1, th1 + th2
+    d = a2 - a1
+    den = L1 * (m1 + m2 * np.sin(d) ** 2)
+    # from standard double pendulum dynamics (absolute-angle form), at rest:
+    acc1 = (
+        -g * (m1 + m2) * np.sin(a1) + m2 * g * np.sin(a2) * np.cos(d)
+    ) / den
+    acc2 = ((m1 + m2) * (g * np.sin(a1) * np.cos(d) - g * np.sin(a2))) / (
+        L2 * (m1 + m2 * np.sin(d) ** 2)
+    )
+    # convert absolute-angle accelerations to relative joint accelerations
+    np.testing.assert_allclose(qacc[0], acc1, rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(qacc[1], acc2 - acc1, rtol=2e-3, atol=1e-4)
+
+
+def test_ball_rests_on_plane():
+    mb = ModelBuilder(timestep=0.005)
+    mb.add_geom(0, PLANE, [0, 0, 0], friction=1.0)
+    b = mb.add_body("ball", jnt_type=FREE, mass=0.5)
+    mb.add_geom(b, SPHERE, [0.1], friction=1.0)
+    model = mb.finalize()
+    data = make_data(model, 8)
+    data = data.replace(qpos=data.qpos.at[:, 2].set(0.5))
+    data = n_steps(model, data, 300)
+    # ball should be resting at z ~= radius
+    np.testing.assert_allclose(data.qpos[:, 2], 0.1, atol=0.01)
+    assert np.all(np.abs(np.asarray(data.qvel[:, 2])) < 0.05)
+
+
+def test_box_rests_on_plane():
+    mb = ModelBuilder(timestep=0.005)
+    mb.add_geom(0, PLANE, [0, 0, 0], friction=1.0)
+    b = mb.add_body("box", jnt_type=FREE, mass=0.2)
+    mb.add_geom(b, BOX, [0.02, 0.02, 0.02], friction=1.0)
+    model = mb.finalize()
+    data = make_data(model, 4)
+    data = data.replace(qpos=data.qpos.at[:, 2].set(0.1))
+    data = n_steps(model, data, 300)
+    np.testing.assert_allclose(data.qpos[:, 2], 0.02, atol=0.005)
+    # no drift in xy
+    np.testing.assert_allclose(data.qpos[:, :2], 0.0, atol=0.01)
+
+
+def test_friction_holds_box_on_incline():
+    """Box on a 15-degree incline with mu=1.0 must not slide."""
+    mb = ModelBuilder(timestep=0.005)
+    ang = np.deg2rad(15)
+    quat = np.array([np.cos(ang / 2), 0, np.sin(ang / 2), 0])
+    mb.add_geom(0, PLANE, [0, 0, 0], quat=quat, friction=1.0)
+    b = mb.add_body("box", jnt_type=FREE, mass=0.2)
+    mb.add_geom(b, BOX, [0.02, 0.02, 0.02], friction=1.0)
+    model = mb.finalize()
+    data = make_data(model, 1)
+    # start resting on the incline at origin
+    data = data.replace(
+        qpos=data.qpos.at[:, :3].set(jnp.array([0.0, 0.0, 0.021]))
+        .at[:, 3:7]
+        .set(jnp.asarray(quat, jnp.float32))
+    )
+    data = n_steps(model, data, 200)
+    np.testing.assert_allclose(np.asarray(data.qpos[0, :2]), 0.0, atol=0.02)
+
+
+def test_frictionless_box_slides_on_incline():
+    mb = ModelBuilder(timestep=0.005)
+    ang = np.deg2rad(15)
+    quat = np.array([np.cos(ang / 2), 0, np.sin(ang / 2), 0])
+    mb.add_geom(0, PLANE, [0, 0, 0], quat=quat, friction=0.0)
+    b = mb.add_body("box", jnt_type=FREE, mass=0.2)
+    mb.add_geom(b, BOX, [0.02, 0.02, 0.02], friction=0.0)
+    model = mb.finalize()
+    data = make_data(model, 1)
+    data = data.replace(
+        qpos=data.qpos.at[:, :3].set(jnp.array([0.0, 0.0, 0.021]))
+        .at[:, 3:7]
+        .set(jnp.asarray(quat, jnp.float32))
+    )
+    data = n_steps(model, data, 200)
+    assert float(jnp.linalg.norm(data.qpos[0, :2])) > 0.05
+
+
+def test_pd_drive_reaches_target():
+    mb = ModelBuilder(timestep=0.01)
+    b = mb.add_body(
+        "arm", jnt_type=HINGE, jnt_axis=(0, 1, 0), pos=(0, 0, 1.0),
+        mass=1.0, ipos=(0.3, 0, 0), inertia=(1e-4, 1e-4, 1e-4),
+        limit=(-2.0, 2.0),
+    )
+    model = mb.finalize()
+    model = model.replace(
+        drive_kp=jnp.array([50.0]),
+        drive_kd=jnp.array([10.0]),
+        drive_force_limit=jnp.array([100.0]),
+    )
+    data = make_data(model, 2)
+    data = data.replace(drive_target=jnp.full((2, 1), 0.7))
+    data = n_steps(model, data, 400)
+    np.testing.assert_allclose(data.qpos[:, 0], 0.7, atol=0.06)
+
+
+def test_kinematic_body_immovable():
+    mb = ModelBuilder(timestep=0.01)
+    k = mb.add_body("kin", jnt_type=FREE, body_type=KINEMATIC, mass=1.0)
+    mb.add_geom(k, BOX, [0.1, 0.1, 0.1])
+    b = mb.add_body("ball", jnt_type=FREE, mass=1.0)
+    mb.add_geom(b, SPHERE, [0.05])
+    model = mb.finalize()
+    data = make_data(model, 1)
+    # ball above kinematic box
+    data = data.replace(qpos=data.qpos.at[:, 9].set(0.5))
+    data = n_steps(model, data, 100)
+    # kinematic box did not move
+    np.testing.assert_allclose(data.qpos[0, :3], 0.0, atol=1e-6)
+    # ball rests on top of box (0.1 + 0.05)
+    np.testing.assert_allclose(data.qpos[0, 9], 0.15, atol=0.01)
+
+
+def test_joint_limits_respected():
+    mb = ModelBuilder(timestep=0.01)
+    b = mb.add_body(
+        "arm", jnt_type=HINGE, jnt_axis=(0, 1, 0), pos=(0, 0, 1.0),
+        mass=1.0, ipos=(0.3, 0, 0), inertia=(1e-4, 1e-4, 1e-4),
+        limit=(-0.5, 0.5),
+    )
+    model = mb.finalize()
+    data = make_data(model, 1)
+    # gravity pulls the arm down (towards +- pi/2); limit must stop it
+    data = n_steps(model, data, 300)
+    assert abs(float(data.qpos[0, 0])) < 0.55
+
+
+def test_stack_of_boxes_stable():
+    mb = ModelBuilder(timestep=0.005)
+    mb.add_geom(0, PLANE, [0, 0, 0], friction=1.0)
+    b1 = mb.add_body("b1", jnt_type=FREE, mass=0.2)
+    mb.add_geom(b1, BOX, [0.02, 0.02, 0.02], friction=1.0)
+    b2 = mb.add_body("b2", jnt_type=FREE, mass=0.2)
+    mb.add_geom(b2, BOX, [0.02, 0.02, 0.02], friction=1.0)
+    model = mb.finalize()
+    data = make_data(model, 1)
+    data = data.replace(
+        qpos=data.qpos.at[:, 2].set(0.02).at[:, 9].set(0.0601)
+    )
+    data = n_steps(model, data, 400)
+    np.testing.assert_allclose(float(data.qpos[0, 2]), 0.02, atol=0.005)
+    np.testing.assert_allclose(float(data.qpos[0, 9]), 0.06, atol=0.01)
+    # top box still aligned over bottom box
+    np.testing.assert_allclose(np.asarray(data.qpos[0, 7:9]), 0.0, atol=0.01)
