@@ -1,0 +1,64 @@
+"""Benchmark driver: state-obs env.step throughput on PushCube.
+
+Mirrors the reference's benchmark methodology
+(mani_skill/examples/benchmarking/gpu_sim.py: env.step timed over N steps,
+pd_joint_delta_pos control) and prints ONE JSON line with steps/sec vs the
+reference's RTX-4090 baseline (BASELINE.md: FrankaMoveBenchmark-v1 @ 4096
+envs = 330,096 steps/s).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", "1024"))
+    steps = int(os.environ.get("BENCH_STEPS", "100"))
+
+    import jax
+    import jax.numpy as jnp
+
+    import maniskill_tpu.envs  # registers tasks
+    from maniskill_tpu.utils.registration import make
+
+    env = make(
+        "PushCube-v1",
+        num_envs=num_envs,
+        obs_mode="state",
+        control_mode="pd_joint_delta_pos",
+        sim_config=dict(sim_freq=120, control_freq=60),  # benchmark freqs (gpu_sim.py:29-30)
+    )
+    base = env.unwrapped
+    env.reset(seed=0)
+
+    act = jnp.zeros((num_envs,) + base.single_action_space.shape, jnp.float32)
+
+    # warmup (compile)
+    obs, *_ = env.step(act)
+    jax.block_until_ready(obs)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        obs, rew, term, trunc, info = env.step(act)
+    jax.block_until_ready(obs)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = num_envs * steps / dt
+    baseline = 330096.0
+    print(
+        json.dumps(
+            dict(
+                metric="pushcube_state_steps_per_sec",
+                value=round(steps_per_sec, 1),
+                unit="env*steps/s",
+                vs_baseline=round(steps_per_sec / baseline, 3),
+            )
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

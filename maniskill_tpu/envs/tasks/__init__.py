@@ -1,0 +1,2 @@
+from . import tabletop
+from . import control

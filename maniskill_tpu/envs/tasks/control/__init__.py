@@ -1,0 +1,1 @@
+from .cartpole import CartpoleBalanceEnv, CartpoleSwingUpEnv

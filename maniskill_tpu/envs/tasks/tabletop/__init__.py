@@ -1,0 +1,2 @@
+from .push_cube import PushCubeEnv
+from .pick_cube import PickCubeEnv

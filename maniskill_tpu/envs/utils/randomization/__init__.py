@@ -1,0 +1,1 @@
+from .batched_rng import BatchedRNG

@@ -1,0 +1,251 @@
+"""Sharded PPO training step (flagship multi-chip path).
+
+The reference scales by batching envs on ONE GPU (SURVEY.md §2.2: no
+multi-node story); the TPU-native win is sharding the env axis of the SAME
+jitted program over a device mesh — rollout physics, policy forward/backward,
+and the PPO update all run SPMD, with XLA inserting psums over ICI for the
+gradient reduction. This module builds that program; it is also the
+examples/baselines/ppo counterpart.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import flax.linen as nn
+import optax
+
+
+class ActorCritic(nn.Module):
+    action_dim: int
+    hidden: int = 256
+
+    @nn.compact
+    def __call__(self, x):
+        def mlp(x):
+            for _ in range(2):
+                x = nn.tanh(nn.Dense(self.hidden)(x))
+            return x
+
+        pi = mlp(x)
+        mean = nn.Dense(self.action_dim, kernel_init=nn.initializers.orthogonal(0.01))(pi)
+        log_std = self.param("log_std", nn.initializers.constant(-0.5), (self.action_dim,))
+        v = nn.Dense(1)(mlp(x))[..., 0]
+        return mean, log_std, v
+
+
+class PPOConfig(NamedTuple):
+    rollout_steps: int = 16
+    gamma: float = 0.8
+    gae_lambda: float = 0.9
+    clip_eps: float = 0.2
+    vf_coef: float = 0.5
+    ent_coef: float = 0.0
+    lr: float = 3e-4
+    update_epochs: int = 4
+    num_minibatches: int = 4
+    max_grad_norm: float = 0.5
+
+
+def make_env_step_fns(env):
+    """Pure (data, action) -> ... and reset fns extracted from a BaseEnv."""
+    base = env.unwrapped
+
+    def step_fn(data, action):
+        new_data, obs, reward, terminated, info = base._step_impl(data, action)
+        return new_data, obs, reward, terminated
+
+    def reset_fn(data, mask, keys):
+        new_data, obs, info = base._reset_impl(data, mask, keys, None)
+        return new_data, obs
+
+    return step_fn, reset_fn
+
+
+def make_train_step(env, config: PPOConfig = PPOConfig()):
+    """Build (init_state, train_step) for PPO on a batched env."""
+    base = env.unwrapped
+    num_envs = base.num_envs
+    act_dim = int(np.prod(base.single_action_space.shape))
+    step_fn, reset_fn = make_env_step_fns(env)
+    model = ActorCritic(act_dim)
+
+    max_steps = 50
+
+    def init_state(key, obs_dim):
+        params = model.init(key, jnp.zeros((1, obs_dim)))
+        tx = optax.chain(
+            optax.clip_by_global_norm(config.max_grad_norm),
+            optax.adam(config.lr),
+        )
+        opt_state = tx.init(params)
+        return params, opt_state, tx
+
+    def rollout(params, data, obs, elapsed, key):
+        def body(carry, _):
+            data, obs, elapsed, key = carry
+            key, akey, rkey = jax.random.split(key, 3)
+            mean, log_std, value = model.apply(params, obs)
+            std = jnp.exp(log_std)
+            action = mean + std * jax.random.normal(akey, mean.shape)
+            logp = -0.5 * jnp.sum(
+                ((action - mean) / std) ** 2 + 2 * log_std + jnp.log(2 * jnp.pi),
+                axis=-1,
+            )
+            new_data, new_obs, reward, terminated = step_fn(data, action)
+            elapsed = elapsed + 1
+            truncated = elapsed >= max_steps
+            done = terminated | truncated
+            # SAME_STEP autoreset (vector/wrappers/gymnasium.py:127-184)
+            keys = jax.random.split(rkey, obs.shape[0])
+            reset_data, reset_obs = reset_fn(new_data, done, keys)
+            elapsed = jnp.where(done, 0, elapsed)
+            out = (obs, action, logp, reward, done, value)
+            return (reset_data, reset_obs, elapsed, key), out
+
+        (data, obs, elapsed, key), traj = jax.lax.scan(
+            body, (data, obs, elapsed, key), None, length=config.rollout_steps
+        )
+        return data, obs, elapsed, key, traj
+
+    def compute_gae(traj, last_value):
+        obs, actions, logps, rewards, dones, values = traj
+
+        def body(carry, t):
+            gae, next_value = carry
+            delta = (
+                rewards[t]
+                + config.gamma * next_value * (1 - dones[t].astype(jnp.float32))
+                - values[t]
+            )
+            gae = (
+                delta
+                + config.gamma
+                * config.gae_lambda
+                * (1 - dones[t].astype(jnp.float32))
+                * gae
+            )
+            return (gae, values[t]), gae
+
+        T = rewards.shape[0]
+        (_, _), advs = jax.lax.scan(
+            body,
+            (jnp.zeros_like(last_value), last_value),
+            jnp.arange(T - 1, -1, -1),
+        )
+        advs = advs[::-1]
+        returns = advs + values
+        return advs, returns
+
+    def ppo_loss(params, batch):
+        obs, actions, old_logp, advs, returns = batch
+        mean, log_std, value = model.apply(params, obs)
+        std = jnp.exp(log_std)
+        logp = -0.5 * jnp.sum(
+            ((actions - mean) / std) ** 2 + 2 * log_std + jnp.log(2 * jnp.pi), axis=-1
+        )
+        ratio = jnp.exp(logp - old_logp)
+        advs_n = (advs - advs.mean()) / (advs.std() + 1e-8)
+        pg1 = ratio * advs_n
+        pg2 = jnp.clip(ratio, 1 - config.clip_eps, 1 + config.clip_eps) * advs_n
+        pg_loss = -jnp.mean(jnp.minimum(pg1, pg2))
+        v_loss = 0.5 * jnp.mean((value - returns) ** 2)
+        entropy = jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e))
+        return pg_loss + config.vf_coef * v_loss - config.ent_coef * entropy
+
+    def train_step(params, opt_state, tx, data, obs, elapsed, key):
+        data, obs, elapsed, key, traj = rollout(params, data, obs, elapsed, key)
+        _, _, last_value = model.apply(params, obs)
+        advs, returns = compute_gae(traj, last_value)
+        t_obs, t_act, t_logp, t_rew, t_done, t_val = traj
+        flat = lambda x: x.reshape((-1,) + x.shape[2:])
+        batch = (flat(t_obs), flat(t_act), flat(t_logp), flat(advs), flat(returns))
+
+        def epoch(carry, _):
+            params, opt_state, key = carry
+            key, pkey = jax.random.split(key)
+            n = batch[0].shape[0]
+            perm = jax.random.permutation(pkey, n)
+            mb_size = n // config.num_minibatches
+
+            def mb_update(carry, i):
+                params, opt_state = carry
+                idx = jax.lax.dynamic_slice_in_dim(perm, i * mb_size, mb_size)
+                mb = tuple(b[idx] for b in batch)
+                loss, grads = jax.value_and_grad(ppo_loss)(params, mb)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                mb_update, (params, opt_state), jnp.arange(config.num_minibatches)
+            )
+            return (params, opt_state, key), losses.mean()
+
+        (params, opt_state, key), losses = jax.lax.scan(
+            epoch, (params, opt_state, key), None, length=config.update_epochs
+        )
+        mean_reward = t_rew.mean()
+        return params, opt_state, data, obs, elapsed, key, dict(
+            loss=losses.mean(), mean_reward=mean_reward
+        )
+
+    return model, init_state, train_step
+
+
+def make_sharded_ppo_step(
+    mesh: Mesh,
+    num_envs: int,
+    env_id: str = "PushCube-v1",
+    config: PPOConfig = PPOConfig(rollout_steps=2, update_epochs=1, num_minibatches=1),
+    smoke: bool = False,
+):
+    """jit the FULL PPO train step over a mesh with the env axis sharded
+    (dp over envs; params replicated — XLA inserts the grad psum over ICI)."""
+    import maniskill_tpu.envs  # noqa: F401  (registers tasks)
+    from maniskill_tpu.utils.registration import make
+
+    env = make(env_id, num_envs=num_envs, obs_mode="state")
+    base = env.unwrapped
+    obs, _ = env.reset(seed=0)
+    obs_dim = obs.shape[-1]
+
+    model, init_state, train_step = make_train_step(env, config)
+    key = jax.random.PRNGKey(0)
+    params, opt_state, tx = init_state(key, obs_dim)
+
+    env_sharding = NamedSharding(mesh, P("env"))
+    repl = NamedSharding(mesh, P())
+
+    shard_env = lambda tree: jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, env_sharding), tree
+    )
+    data = shard_env(base.scene.data)
+    obs = jax.device_put(obs, env_sharding)
+    elapsed = jax.device_put(jnp.zeros(num_envs, jnp.int32), env_sharding)
+    params = jax.device_put(params, repl)
+    opt_state = jax.device_put(opt_state, repl)
+
+    step = jax.jit(lambda p, o, d, ob, el, k: train_step(p, o, tx, d, ob, el, k))
+
+    def run_once():
+        nonlocal params, opt_state, data, obs, elapsed, key
+        params, opt_state, data, obs, elapsed, key, metrics = step(
+            params, opt_state, data, obs, elapsed, key
+        )
+        jax.block_until_ready(metrics["loss"])
+        return metrics
+
+    metrics = run_once()
+    if smoke:
+        print(
+            "dryrun_multichip ok:",
+            {k: float(v) for k, v in metrics.items()},
+            "devices:", len(mesh.devices.flatten()),
+        )
+    return run_once, env

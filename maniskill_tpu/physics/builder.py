@@ -97,7 +97,7 @@ class ModelBuilder:
         self,
         timestep: float = 0.01,
         gravity=(0.0, 0.0, -9.81),
-        solver_iterations: int = 16,
+        solver_iterations: int = 32,
     ):
         self.timestep = timestep
         self.gravity = np.asarray(gravity, np.float64)
@@ -277,7 +277,7 @@ class ModelBuilder:
                 b = body_parent[b]
 
         # candidate pairs
-        pairs = self._candidate_pairs(body_parent, body_type)
+        pairs = self._candidate_pairs(body_parent, body_type, ancestor)
 
         col_geoms = self.geoms  # all geoms (visual-only ones get contype=0)
         model = Model(
@@ -348,11 +348,12 @@ class ModelBuilder:
         )
         return model
 
-    def _candidate_pairs(self, body_parent, body_type) -> List[Tuple[int, int]]:
+    def _candidate_pairs(self, body_parent, body_type, ancestor) -> List[Tuple[int, int]]:
         """Static broadphase: all geom pairs that could ever collide."""
         pairs = []
         geoms = self.geoms
         types = [g.type for g in geoms]
+        has_dofs = ancestor.sum(axis=1) > 0  # body can move at all
         for i in range(len(geoms)):
             for j in range(i + 1, len(geoms)):
                 gi, gj = geoms[i], geoms[j]
@@ -364,8 +365,20 @@ class ModelBuilder:
                 # neither responds: skip
                 if body_type[bi] != DYNAMIC and body_type[bj] != DYNAMIC:
                     continue
-                # parent-child adjacency (PhysX articulation default)
-                if body_parent[bi] == bj or body_parent[bj] == bi:
+                # neither body's chain has any dof (e.g. fixed robot base vs
+                # static table): no response possible
+                dyn_i = body_type[bi] == DYNAMIC and has_dofs[bi]
+                dyn_j = body_type[bj] == DYNAMIC and has_dofs[bj]
+                if not (dyn_i or dyn_j):
+                    continue
+                # parent-child adjacency (PhysX articulation default);
+                # FREE-jointed children still collide with their "parent"
+                # (the world) — the filter is for articulation joints only
+                jt_i = self.bodies[bi].jnt_type
+                jt_j = self.bodies[bj].jnt_type
+                if body_parent[bi] == bj and jt_i != FREE:
+                    continue
+                if body_parent[bj] == bi and jt_j != FREE:
                     continue
                 if (min(bi, bj), max(bi, bj)) in self.exclude_body_pairs:
                     continue

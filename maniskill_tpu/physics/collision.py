@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.geometry import rotation_conversions as rc
-from .types import BOX, CAPSULE, CYLINDER, PLANE, SPHERE, Contact, Data, Model
+from .types import BOX, CAPSULE, CYLINDER, PLANE, SPHERE, Contact, Data, HArray, Model
 from .kinematics import geom_poses
 
 # A contact candidate: (pos (B,3), normal (B,3), depth (B,))
@@ -161,7 +161,54 @@ def sphere_capsule(p1, q1, s1, p2, q2, s2) -> List[Cand]:
 
 
 def box_box(p1, q1, s1, p2, q2, s2) -> List[Cand]:
-    """Corner-vs-SDF both directions: up to 16 candidates (face/vertex cases)."""
+    """Box-box via face-axis SAT normal + corner containment.
+
+    The separating-axis test over the 6 face normals picks ONE consistent
+    contact normal (the minimum-overlap axis) — corner-vs-SDF alone gives
+    ambiguous normals for face-face stacking. Contact points are the corners
+    of each box contained in (or near) the other; depth is measured along the
+    SAT normal. Edge-edge cases are approximated by the deepest corner.
+    """
+    R1 = rc.quaternion_to_matrix(q1)  # (..., 3, 3), columns = box axes
+    R2 = rc.quaternion_to_matrix(q2)
+    d = p2 - p1  # (..., 3)
+
+    axes = [R1[..., :, i] for i in range(3)] + [R2[..., :, i] for i in range(3)]
+    overlaps = []
+    signed = []
+    for a in axes:
+        r1 = sum(
+            jnp.abs(jnp.sum(a * R1[..., :, i], axis=-1)) * s1[..., i] for i in range(3)
+        )
+        r2 = sum(
+            jnp.abs(jnp.sum(a * R2[..., :, i], axis=-1)) * s2[..., i] for i in range(3)
+        )
+        dist = jnp.sum(d * a, axis=-1)
+        overlaps.append(r1 + r2 - jnp.abs(dist))
+        signed.append(dist)
+    overlaps = jnp.stack(overlaps, axis=-1)  # (..., 6)
+    signed = jnp.stack(signed, axis=-1)
+    sep = jnp.min(overlaps, axis=-1)  # min overlap; < 0 -> separated
+    k = jnp.argmin(overlaps, axis=-1)  # (...,)
+    axes_st = jnp.stack(axes, axis=-2)  # (..., 6, 3)
+    a_min = jnp.take_along_axis(axes_st, k[..., None, None].astype(jnp.int32), axis=-2)[
+        ..., 0, :
+    ]
+    sgn = jnp.sign(
+        jnp.take_along_axis(signed, k[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    )
+    sgn = jnp.where(sgn == 0.0, 1.0, sgn)
+    # normal points from box1 toward box2 (push geom2 out along +n)
+    n = a_min * sgn[..., None]
+
+    # supports of each box along the SAT normal
+    r1n = sum(
+        jnp.abs(jnp.sum(n * R1[..., :, i], axis=-1)) * s1[..., i] for i in range(3)
+    )
+    r2n = sum(
+        jnp.abs(jnp.sum(n * R2[..., :, i], axis=-1)) * s2[..., i] for i in range(3)
+    )
+
     out = []
     corners = [
         jnp.asarray([sx, sy, sz], jnp.float32)
@@ -169,20 +216,31 @@ def box_box(p1, q1, s1, p2, q2, s2) -> List[Cand]:
         for sy in (-1.0, 1.0)
         for sz in (-1.0, 1.0)
     ]
-    # corners of box2 against box1 SDF: push geom2 out of geom1 -> n = +n_w
+    separated = sep < 0.0
+    # reference face = box owning the min-overlap axis; only the INCIDENT
+    # box's corners generate contacts (avoids a doubled, Jacobi-divergent
+    # manifold for face-face stacking)
+    ref_is_1 = k < 3
+    # corners of box2 inside box1: penetration measured along the SAT normal
+    # (SDF only gates containment — its distance is to the NEAREST face,
+    # which is wrong for corners lying on lateral faces)
     for c in corners:
         corner = p2 + rc.quaternion_apply(q2, s2 * c)
-        local = _to_local(corner, p1, q1)
-        dist, n_l = _box_sdf_local(local, s1)
-        n_w = _from_local_dir(n_l, q1)
-        out.append((corner, n_w, -dist))
-    # corners of box1 against box2 SDF: push geom1 out along n_w -> n = -n_w
+        dist, _ = _box_sdf_local(_to_local(corner, p1, q1), s1)
+        pen = r1n - jnp.sum((corner - p1) * n, axis=-1)
+        depth = jnp.where(
+            separated | (dist > 1e-3) | ~ref_is_1, BAD_DEPTH, pen
+        )
+        out.append((corner, n, depth))
+    # corners of box1 inside box2
     for c in corners:
         corner = p1 + rc.quaternion_apply(q1, s1 * c)
-        local = _to_local(corner, p2, q2)
-        dist, n_l = _box_sdf_local(local, s2)
-        n_w = _from_local_dir(n_l, q2)
-        out.append((corner, -n_w, -dist))
+        dist, _ = _box_sdf_local(_to_local(corner, p2, q2), s2)
+        pen = r2n + jnp.sum((corner - p2) * n, axis=-1)
+        depth = jnp.where(
+            separated | (dist > 1e-3) | ref_is_1, BAD_DEPTH, pen
+        )
+        out.append((corner, n, depth))
     return out
 
 
@@ -257,7 +315,12 @@ def contacts_per_pair(t1: int, t2: int) -> int:
 
 
 def collide(model: Model, data: Data) -> Contact:
-    """Run narrowphase for all candidate pairs -> static-shape Contact set."""
+    """Run narrowphase for all candidate pairs -> static-shape Contact set.
+
+    Pairs are grouped by (type1, type2) and each group is evaluated in ONE
+    vectorized call over a gathered (B, P, ...) pair axis — compile-time and
+    runtime scale with the number of type combos, not the number of pairs.
+    """
     B = data.batch_size
     gpos, gquat = geom_poses(model, data)
     size = model.geom_size
@@ -267,30 +330,38 @@ def collide(model: Model, data: Data) -> Contact:
     if fric.ndim == 1:
         fric = jnp.broadcast_to(fric, (B,) + fric.shape)
 
-    pos_l, n_l, d_l, f_l, g1_l, g2_l = [], [], [], [], [], []
+    # group candidate pairs by type combo (static)
+    groups = {}
     for g1, g2 in zip(model.pair_geom1, model.pair_geom2):
         g1, g2 = int(g1), int(g2)
-        t1, t2 = int(model.geom_type[g1]), int(model.geom_type[g2])
+        key = (int(model.geom_type[g1]), int(model.geom_type[g2]))
+        groups.setdefault(key, []).append((g1, g2))
+
+    pos_l, n_l, d_l, f_l, g1_l, g2_l = [], [], [], [], [], []
+    for (t1, t2), pairs in sorted(groups.items()):
         fn = _DISPATCH.get((t1, t2))
         if fn is None:
             continue
+        i1 = np.array([p[0] for p in pairs], np.int32)
+        i2 = np.array([p[1] for p in pairs], np.int32)
+        P = len(pairs)
         cands = fn(
-            gpos[:, g1], gquat[:, g1], size[:, g1],
-            gpos[:, g2], gquat[:, g2], size[:, g2],
+            gpos[:, i1], gquat[:, i1], size[:, i1],
+            gpos[:, i2], gquat[:, i2], size[:, i2],
         )
-        mu = 0.5 * (fric[:, g1] + fric[:, g2])
+        mu = 0.5 * (fric[:, i1] + fric[:, i2])  # (B, P)
         for (cp, cn, cd) in cands:
-            pos_l.append(cp)
+            pos_l.append(cp)  # (B, P, 3)
             n_l.append(cn)
-            d_l.append(cd)
+            d_l.append(cd)  # (B, P)
             f_l.append(mu)
-            g1_l.append(g1)
-            g2_l.append(g2)
+            g1_l.append(i1)
+            g2_l.append(i2)
 
     if not pos_l:
         return Contact(
-            geom1=np.zeros(0, np.int32),
-            geom2=np.zeros(0, np.int32),
+            geom1=HArray(np.zeros(0, np.int32)),
+            geom2=HArray(np.zeros(0, np.int32)),
             pos=jnp.zeros((B, 0, 3), jnp.float32),
             normal=jnp.zeros((B, 0, 3), jnp.float32),
             depth=jnp.zeros((B, 0), jnp.float32),
@@ -298,12 +369,13 @@ def collide(model: Model, data: Data) -> Contact:
             impulse=jnp.zeros((B, 0, 3), jnp.float32),
         )
 
+    geom1 = np.concatenate(g1_l)
     return Contact(
-        geom1=np.asarray(g1_l, np.int32),
-        geom2=np.asarray(g2_l, np.int32),
-        pos=jnp.stack(pos_l, axis=1),
-        normal=jnp.stack(n_l, axis=1),
-        depth=jnp.stack(d_l, axis=1),
-        friction=jnp.stack(f_l, axis=1),
-        impulse=jnp.zeros((B, len(pos_l), 3), jnp.float32),
+        geom1=HArray(geom1),
+        geom2=HArray(np.concatenate(g2_l)),
+        pos=jnp.concatenate(pos_l, axis=1),
+        normal=jnp.concatenate(n_l, axis=1),
+        depth=jnp.concatenate(d_l, axis=1),
+        friction=jnp.concatenate(f_l, axis=1),
+        impulse=jnp.zeros((B, len(geom1), 3), jnp.float32),
     )

@@ -151,8 +151,6 @@ def solve(
     v0 = jnp.einsum("brv,bv->br", J, qvel_pred)
     mu = contact.friction
 
-    n_idx = np.arange(C) * 3  # normal row indices (static)
-
     def project(lam):
         if C > 0:
             lc = lam[:, : C * 3].reshape(B, C, 3)
@@ -166,16 +164,45 @@ def solve(
         ll = jnp.maximum(lam[:, C * 3 :], 0.0)
         return jnp.concatenate([lc, ll], axis=1)
 
-    omega = 0.85  # under-relaxation for Jacobi stability on coupled contacts
+    def matvec(x):
+        dv = jnp.einsum("bvr,br->bv", W, x)
+        return jnp.einsum("brv,bv->br", J, dv)
+
+    # Jacobi with D^-1 preconditioning diverges once contact rows couple
+    # strongly (stacking, multi-point manifolds): the iteration matrix
+    # I - D^-1 A needs rho < 1 which redundant rows break. Estimate
+    # rho(D^-1 A) by power iteration and step with omega = 1/rho —
+    # a projected-gradient method with a certified-stable step, all batched
+    # (no per-contact serialization, unlike PhysX's Gauss-Seidel).
+    def pw_body(i, x):
+        y = inv_diag * matvec(x)
+        norm = jnp.linalg.norm(y, axis=-1, keepdims=True)
+        return y / jnp.maximum(norm, 1e-12)
+
+    x0 = arow.astype(jnp.float32)
+    x0 = x0 / jnp.maximum(jnp.linalg.norm(x0, axis=-1, keepdims=True), 1e-12)
+    x = jax.lax.fori_loop(0, 6, pw_body, x0)
+    y = inv_diag * matvec(x)
+    rho = jnp.sum(x * y, axis=-1, keepdims=True)  # Rayleigh quotient
+    omega = 1.0 / jnp.maximum(rho, 1.0)
 
     def body(i, lam):
         # residual r = A lam + (v0 - target)
-        dv = jnp.einsum("bvr,br->bv", W, lam)
-        r = jnp.einsum("brv,bv->br", J, dv) + v0 - target
+        r = matvec(lam) + v0 - target
         lam = lam - omega * inv_diag * r
         return project(lam)
 
-    lam0 = jnp.zeros((B, R), jnp.float32)
+    # warm start: contacts are a static list, so the previous step's impulses
+    # map 1:1 — project them onto the current contact basis (the PhysX-style
+    # convergence win for persistent contacts, at zero memory cost since the
+    # impulses already live in the Contact pytree)
+    if data.contact is not None and data.contact.impulse.shape[1] == C and C > 0:
+        prev = data.contact.impulse  # (B, C, 3) world impulse
+        lam_c0 = jnp.einsum("bcik,bck->bci", basis, prev).reshape(B, C * 3)
+        lam0 = jnp.concatenate([lam_c0, jnp.zeros((B, L), jnp.float32)], axis=1)
+        lam0 = project(lam0)
+    else:
+        lam0 = jnp.zeros((B, R), jnp.float32)
     lam = jax.lax.fori_loop(0, model.solver_iterations, body, lam0)
 
     qvel_new = qvel_pred + jnp.einsum("bvr,br->bv", W, lam)

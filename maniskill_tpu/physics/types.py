@@ -161,7 +161,7 @@ class Model:
     # ---- solver / integration options ----
     gravity: jax.Array  # (3,)
     timestep: float = struct.field(pytree_node=False, default=0.01)
-    solver_iterations: int = struct.field(pytree_node=False, default=16)
+    solver_iterations: int = struct.field(pytree_node=False, default=32)
     contact_slop: float = struct.field(pytree_node=False, default=0.002)
     baumgarte: float = struct.field(pytree_node=False, default=0.2)
     max_correction_vel: float = struct.field(pytree_node=False, default=0.5)

@@ -1,0 +1,1 @@
+from .rasterizer import SceneMesh, rasterize

