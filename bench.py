@@ -1,4 +1,4 @@
-"""Benchmark driver: state-obs env.step throughput on PushCube.
+"""Benchmark driver: state-obs env.step throughput on FrankaMoveBenchmark-v1.
 
 Mirrors the reference's benchmark methodology
 (mani_skill/examples/benchmarking/gpu_sim.py: env.step timed over N steps,
@@ -24,12 +24,12 @@ def main():
     import maniskill_tpu.envs  # registers tasks
     from maniskill_tpu.utils.registration import make
 
+    env_id = os.environ.get("BENCH_ENV_ID", "FrankaMoveBenchmark-v1")
     env = make(
-        "PushCube-v1",
+        env_id,
         num_envs=num_envs,
         obs_mode="state",
         control_mode="pd_joint_delta_pos",
-        sim_config=dict(sim_freq=120, control_freq=60),  # benchmark freqs (gpu_sim.py:29-30)
     )
     base = env.unwrapped
     env.reset(seed=0)
@@ -51,7 +51,7 @@ def main():
     print(
         json.dumps(
             dict(
-                metric="pushcube_state_steps_per_sec",
+                metric="franka_move_state_steps_per_sec",
                 value=round(steps_per_sec, 1),
                 unit="env*steps/s",
                 vs_baseline=round(steps_per_sec / baseline, 3),

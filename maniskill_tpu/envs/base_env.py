@@ -178,6 +178,14 @@ class BaseEnv(gym.Env):
             qa = int(model.body_q_adr[actor.body_id])
             qpos0[qa : qa + 7] = actor.initial_pose
         data = phys.make_data(model, self.num_envs, qpos0)
+        specs = getattr(self.scene, "extra_specs", {})
+        if specs:
+            data = data.replace(
+                extras={
+                    name: jnp.zeros((self.num_envs,) + shape, dtype)
+                    for name, (shape, dtype) in specs.items()
+                }
+            )
         return data
 
     def _load_agent(self, options: dict, initial_agent_poses=None, build_separate=False):
@@ -296,6 +304,9 @@ class BaseEnv(gym.Env):
             drive_vel_target=scene.masked(
                 jnp.zeros_like(data.drive_vel_target), data.drive_vel_target
             ),
+            extras={
+                k: scene.masked(jnp.zeros_like(v), v) for k, v in data.extras.items()
+            },
         )
 
         if reset_state is not None:

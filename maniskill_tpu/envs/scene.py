@@ -145,6 +145,25 @@ class ManiSkillScene:
         m = m.reshape(m.shape + (1,) * (new.ndim - 1))
         return jnp.where(m, new, cur)
 
+    # -- task extras: persistent per-env state ---------------------------
+    def register_extra(self, name: str, shape=(), dtype=jnp.float32):
+        """Declare a persistent per-env task variable (zero-initialized,
+        masked on partial reset)."""
+        if not hasattr(self, "extra_specs"):
+            self.extra_specs = {}
+        self.extra_specs[name] = (tuple(shape), dtype)
+
+    def get_extra(self, name: str) -> jax.Array:
+        return self._data.extras[name]
+
+    def set_extra(self, name: str, value: jax.Array, masked: bool = True):
+        d = self._data
+        cur = d.extras[name]
+        new = self.masked(jnp.broadcast_to(value, cur.shape), cur) if masked else value
+        extras = dict(d.extras)
+        extras[name] = new
+        self._data = d.replace(extras=extras)
+
     def set_drive_properties(self, dof_adrs, stiffness, damping, force_limit=np.inf):
         """Update PD gains in the model (controllers call this at setup)."""
         adr = np.asarray(dof_adrs, np.int32)

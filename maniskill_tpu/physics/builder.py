@@ -278,6 +278,21 @@ class ModelBuilder:
 
         # candidate pairs
         pairs = self._candidate_pairs(body_parent, body_type, ancestor)
+        from .collision import contacts_per_pair
+
+        total_candidates = sum(
+            contacts_per_pair(
+                int(self.geoms[a].type), int(self.geoms[b].type)
+            )
+            for a, b in pairs
+        )
+        # top-K compaction: only the deepest ~1/3 of candidates can ever be
+        # simultaneously active in practice; disabled for small scenes
+        if total_candidates > 64:
+            k = max(48, -(-total_candidates // 3 // 8) * 8)
+            max_active = min(total_candidates, k)
+        else:
+            max_active = 0
 
         col_geoms = self.geoms  # all geoms (visual-only ones get contype=0)
         model = Model(
@@ -343,6 +358,7 @@ class ModelBuilder:
             gravity=jnp.asarray(self.gravity, jnp.float32),
             timestep=self.timestep,
             solver_iterations=self.solver_iterations,
+            max_active_contacts=max_active,
             body_names=tuple(b.name for b in self.bodies),
             geom_names=tuple(g.name for g in col_geoms),
         )

@@ -82,16 +82,22 @@ def plane_sphere(p1, q1, s1, p2, q2, s2) -> List[Cand]:
 
 
 def plane_box(p1, q1, s1, p2, q2, s2) -> List[Cand]:
+    """Keep only the 4 deepest of the 8 corners (a face manifold needs 4;
+    fewer rows = less solver bandwidth)."""
     n = _plane_normal(q1)
-    out = []
+    cs, ds = [], []
     for sx in (-1.0, 1.0):
         for sy in (-1.0, 1.0):
             for sz in (-1.0, 1.0):
                 corner_l = s2 * jnp.asarray([sx, sy, sz], s2.dtype)
                 corner = p2 + rc.quaternion_apply(q2, corner_l)
-                h = _plane_height(corner, p1, n)
-                out.append((corner, n, -h))
-    return out
+                cs.append(corner)
+                ds.append(-_plane_height(corner, p1, n))
+    depth8 = jnp.stack(ds, axis=-1)  # (..., 8)
+    corner8 = jnp.stack(cs, axis=-2)  # (..., 8, 3)
+    top_d, top_i = jax.lax.top_k(depth8, 4)
+    top_c = jnp.take_along_axis(corner8, top_i[..., None].astype(jnp.int32), axis=-2)
+    return [(top_c[..., i, :], n, top_d[..., i]) for i in range(4)]
 
 
 def plane_capsule(p1, q1, s1, p2, q2, s2) -> List[Cand]:
@@ -219,27 +225,26 @@ def box_box(p1, q1, s1, p2, q2, s2) -> List[Cand]:
     separated = sep < 0.0
     # reference face = box owning the min-overlap axis; only the INCIDENT
     # box's corners generate contacts (avoids a doubled, Jacobi-divergent
-    # manifold for face-face stacking)
+    # manifold for face-face stacking). The incident box is selected
+    # per-env with a where — 8 static rows total, not 16 (contact-row count
+    # drives solver HBM traffic).
     ref_is_1 = k < 3
-    # corners of box2 inside box1: penetration measured along the SAT normal
-    # (SDF only gates containment — its distance is to the NEAREST face,
-    # which is wrong for corners lying on lateral faces)
     for c in corners:
-        corner = p2 + rc.quaternion_apply(q2, s2 * c)
-        dist, _ = _box_sdf_local(_to_local(corner, p1, q1), s1)
-        pen = r1n - jnp.sum((corner - p1) * n, axis=-1)
-        depth = jnp.where(
-            separated | (dist > 1e-3) | ~ref_is_1, BAD_DEPTH, pen
-        )
-        out.append((corner, n, depth))
-    # corners of box1 inside box2
-    for c in corners:
-        corner = p1 + rc.quaternion_apply(q1, s1 * c)
-        dist, _ = _box_sdf_local(_to_local(corner, p2, q2), s2)
-        pen = r2n + jnp.sum((corner - p2) * n, axis=-1)
-        depth = jnp.where(
-            separated | (dist > 1e-3) | ref_is_1, BAD_DEPTH, pen
-        )
+        corner2 = p2 + rc.quaternion_apply(q2, s2 * c)
+        dist2, _ = _box_sdf_local(_to_local(corner2, p1, q1), s1)
+        # penetration measured along the SAT normal (SDF only gates
+        # containment — its distance is to the NEAREST face, which is wrong
+        # for corners lying on lateral faces)
+        pen2 = r1n - jnp.sum((corner2 - p1) * n, axis=-1)
+        d2 = jnp.where(dist2 > 1e-3, BAD_DEPTH, pen2)
+
+        corner1 = p1 + rc.quaternion_apply(q1, s1 * c)
+        dist1, _ = _box_sdf_local(_to_local(corner1, p2, q2), s2)
+        pen1 = r2n + jnp.sum((corner1 - p2) * n, axis=-1)
+        d1 = jnp.where(dist1 > 1e-3, BAD_DEPTH, pen1)
+
+        corner = jnp.where(ref_is_1[..., None], corner2, corner1)
+        depth = jnp.where(separated, BAD_DEPTH, jnp.where(ref_is_1, d2, d1))
         out.append((corner, n, depth))
     return out
 
@@ -301,13 +306,13 @@ _DISPATCH = {
 def contacts_per_pair(t1: int, t2: int) -> int:
     fn_points = {
         (PLANE, SPHERE): 1,
-        (PLANE, BOX): 8,
+        (PLANE, BOX): 4,
         (PLANE, CAPSULE): 2,
         (PLANE, CYLINDER): 8,
         (SPHERE, SPHERE): 1,
         (SPHERE, BOX): 1,
         (SPHERE, CAPSULE): 1,
-        (BOX, BOX): 16,
+        (BOX, BOX): 8,
         (BOX, CAPSULE): 3,
         (CAPSULE, CAPSULE): 1,
     }

@@ -146,9 +146,9 @@ def joint_positions(model: Model, data: Data) -> jax.Array:
 
 
 def smooth_dynamics(model: Model, data: Data):
-    """Compute LHS factorization and the unconstrained velocity prediction.
+    """Compute the inverse LHS and the unconstrained velocity prediction.
 
-    Returns (chol (B,nv,nv) cholesky of M_imp, qvel_pred (B,nv), jac_lin, jac_rot).
+    Returns (Minv (B,nv,nv) inverse of M_imp, qvel_pred (B,nv), qacc, jac_lin, jac_rot).
     """
     h = model.timestep
     M, qfrc_bias, jac_lin, jac_rot = mass_matrix_and_bias(model, data)
@@ -168,12 +168,12 @@ def smooth_dynamics(model: Model, data: Data):
     # explicit dof damping force (the implicit diag handles stability)
     tau = tau - model.dof_damping * data.qvel
 
-    chol = jnp.linalg.cholesky(M_imp)
+    Minv = spd_inverse(M_imp)
     rhs = tau - qfrc_bias
-    qacc = cho_solve(chol, rhs)
+    qacc = jnp.einsum("bij,bj->bi", Minv, rhs)
     qacc = qacc * (1.0 - kin_mask)
     qvel_pred = data.qvel + h * qacc
-    return chol, qvel_pred, qacc, jac_lin, jac_rot
+    return Minv, qvel_pred, qacc, jac_lin, jac_rot
 
 
 def _diag_embed(d: jax.Array) -> jax.Array:
@@ -181,6 +181,41 @@ def _diag_embed(d: jax.Array) -> jax.Array:
     out = jnp.zeros(d.shape + (n,), d.dtype)
     idx = jnp.arange(n)
     return out.at[..., idx, idx].set(d)
+
+
+def spd_inverse(M: jax.Array) -> jax.Array:
+    """Explicit inverse of small batched SPD matrices via unrolled Cholesky.
+
+    ``jnp.linalg.cholesky``/``solve_triangular`` lower to sequential loops
+    that cost ~9 ms at (4096, 21, 21) on TPU; unrolling the n (~20) column
+    steps into fused VPU ops and materializing M^-1 = L^-T L^-1 makes every
+    downstream solve a single MXU matmul.
+    """
+    import numpy as np
+
+    n = M.shape[-1]
+    # unrolled right-looking Cholesky
+    A = M
+    cols = []
+    for j in range(n):
+        d = jnp.sqrt(jnp.maximum(A[..., j, j], 1e-12))
+        col = A[..., :, j] / d[..., None]  # (B, n)
+        mask = jnp.asarray((np.arange(n) >= j), M.dtype)
+        col = col * mask
+        cols.append(col)
+        A = A - col[..., :, None] * col[..., None, :]
+    L = jnp.stack(cols, axis=-1)  # (B, n, n) lower
+
+    # unrolled forward substitution: L X = I -> X = L^-1 (row by row)
+    rows = []
+    eye = jnp.eye(n, dtype=M.dtype)
+    for i in range(n):
+        acc = jnp.broadcast_to(eye[i], M.shape[:-2] + (n,))
+        for k in range(i):
+            acc = acc - L[..., i, k][..., None] * rows[k]
+        rows.append(acc / L[..., i, i][..., None])
+    Linv = jnp.stack(rows, axis=-2)  # (B, n, n)
+    return jnp.einsum("...ki,...kj->...ij", Linv, Linv)  # L^-T L^-1
 
 
 def _kinematic_dof_mask(model: Model) -> jax.Array:

@@ -101,44 +101,88 @@ def limit_rows(model: Model, data: Data):
 def solve(
     model: Model,
     data: Data,
-    chol: jax.Array,
+    Minv: jax.Array,
     qvel_pred: jax.Array,
     contact: Contact,
 ) -> Tuple[jax.Array, Contact]:
     """Returns (qvel_new (B, nv), contact with impulses filled)."""
     B = data.batch_size
     h = model.timestep
-    C = contact.pos.shape[1]
+    C_full = contact.pos.shape[1]
 
-    jrel = contact_jacobians(model, data, contact)  # (B, C, nv, 3)
-    n = contact.normal
-    t1, t2 = _tangent_basis(n)
-    basis = jnp.stack([n, t1, t2], axis=2)  # (B, C, 3, 3)
-    Jc = jnp.einsum("bcvk,bcik->bciv", jrel, basis)  # (B, C, 3, nv)
-    Jc = Jc.reshape(B, C * 3, model.nv)
+    # --- active-contact compaction: the candidate set is static and large,
+    # the active set is small. Gather the K deepest candidates per env and
+    # solve only those rows (solver cost scales with K, not C_full).
+    K = model.max_active_contacts
+    compact = 0 < K < C_full
+    dyn = (model.body_type == 0).astype(np.float32)
+    b1 = model.geom_body[contact.geom1]
+    b2 = model.geom_body[contact.geom2]
+    w_full = jnp.asarray(
+        (model.ancestor_mask[b2] * dyn[b2][:, None])
+        - (model.ancestor_mask[b1] * dyn[b1][:, None]),
+        jnp.float32,
+    )  # (C_full, nv)
+    prev_ok = (
+        data.contact is not None and data.contact.impulse.shape[1] == C_full
+    )
+    if compact:
+        cdepth, idx = jax.lax.top_k(contact.depth, K)  # (B, K)
+        g3 = lambda a: jnp.take_along_axis(a, idx[..., None], axis=1)
+        cpos = g3(contact.pos)
+        cnormal = g3(contact.normal)
+        cmu = jnp.take_along_axis(contact.friction, idx, axis=1)
+        w = jnp.take(w_full, idx, axis=0)  # (B, K, nv)
+        prev_imp = g3(data.contact.impulse) if prev_ok else None
+        C = K
+    else:
+        cdepth, cpos, cnormal, cmu = (
+            contact.depth, contact.pos, contact.normal, contact.friction,
+        )
+        w = w_full[None]
+        prev_imp = data.contact.impulse if prev_ok else None
+        C = C_full
+
+    # relative-velocity jacobian at the (possibly compacted) contact points
+    dof_axis, dof_anchor = dof_frames(model, data)  # (B, nv, 3)
+    rel = cpos[:, :, None, :] - dof_anchor[:, None, :, :]  # (B, C, nv, 3)
+    col = jnp.where(
+        jnp.asarray(model.dof_is_rot)[None, None, :, None],
+        jnp.cross(jnp.broadcast_to(dof_axis[:, None], rel.shape), rel),
+        jnp.broadcast_to(dof_axis[:, None], rel.shape),
+    )
+    jrel = col * w[..., None]  # (B, C, nv, 3)
+
+    t1, t2 = _tangent_basis(cnormal)
+    basis = jnp.stack([cnormal, t1, t2], axis=2)  # (B, C, 3, 3)
+    # build J directly in (B, nv, R) layout: R (the long axis, ~100s of rows)
+    # rides the TPU lane dimension; nv (~20) stays in sublanes. The iteration
+    # matvecs then read at full lane utilization instead of nv/128.
+    Jc_t = jnp.einsum("bcvk,bcik->bvci", jrel, basis)  # (B, nv, C, 3)
+    Jc_t = Jc_t.reshape(B, model.nv, C * 3)
 
     Jl, limit_depth = limit_rows(model, data)  # (B, L, nv), (B, L)
     L = Jl.shape[1]
-    J = jnp.concatenate([Jc, Jl], axis=1)  # (B, R, nv)
+    Jt = jnp.concatenate([Jc_t, jnp.swapaxes(Jl, 1, 2)], axis=2)  # (B, nv, R)
     R = C * 3 + L
 
     if R == 0:
         return qvel_pred, contact
 
-    active_c = contact.depth > -model.contact_margin  # (B, C)
+    active_c = cdepth > -model.contact_margin  # (B, C)
     arow = jnp.concatenate(
         [jnp.repeat(active_c, 3, axis=1), limit_depth > -0.01], axis=1
     )  # (B, R)
-    J = J * arow[..., None]
+    Jt = Jt * arow[:, None, :]
 
-    # W = M^-1 J^T  (B, nv, R)
-    W = cho_solve(chol, jnp.swapaxes(J, 1, 2))
-    diag_A = jnp.einsum("brv,bvr->br", J, W)
+    # W = M^-1 J^T  (B, nv, R) — one MXU matmul with the explicit inverse
+    W = jnp.einsum("bij,bjr->bir", Minv, Jt)
+    diag_A = jnp.einsum("bvr,bvr->br", Jt, W)
     inv_diag = jnp.where(diag_A > 1e-9, 1.0 / jnp.maximum(diag_A, 1e-9), 0.0)
 
     # velocity bias: push out at beta/h * depth, capped
     bias_c = jnp.clip(
-        model.baumgarte / h * jnp.maximum(contact.depth - model.contact_slop, 0.0),
+        model.baumgarte / h * jnp.maximum(cdepth - model.contact_slop, 0.0),
         0.0,
         model.max_correction_vel,
     )
@@ -148,8 +192,8 @@ def solve(
     target = jnp.zeros((B, C, 3), jnp.float32).at[..., 0].set(bias_c).reshape(B, C * 3)
     target = jnp.concatenate([target, bias_l], axis=1)  # (B, R)
 
-    v0 = jnp.einsum("brv,bv->br", J, qvel_pred)
-    mu = contact.friction
+    v0 = jnp.einsum("bvr,bv->br", Jt, qvel_pred)
+    mu = cmu
 
     def project(lam):
         if C > 0:
@@ -166,7 +210,7 @@ def solve(
 
     def matvec(x):
         dv = jnp.einsum("bvr,br->bv", W, x)
-        return jnp.einsum("brv,bv->br", J, dv)
+        return jnp.einsum("bvr,bv->br", Jt, dv)
 
     # Jacobi with D^-1 preconditioning diverges once contact rows couple
     # strongly (stacking, multi-point manifolds): the iteration matrix
@@ -192,13 +236,12 @@ def solve(
         lam = lam - omega * inv_diag * r
         return project(lam)
 
-    # warm start: contacts are a static list, so the previous step's impulses
-    # map 1:1 — project them onto the current contact basis (the PhysX-style
-    # convergence win for persistent contacts, at zero memory cost since the
-    # impulses already live in the Contact pytree)
-    if data.contact is not None and data.contact.impulse.shape[1] == C and C > 0:
-        prev = data.contact.impulse  # (B, C, 3) world impulse
-        lam_c0 = jnp.einsum("bcik,bck->bci", basis, prev).reshape(B, C * 3)
+    # warm start: contacts keep their candidate-list identity across steps
+    # (compaction gathers the previous impulses at the same candidate ids),
+    # so the previous step's impulses project straight onto the new basis —
+    # the PhysX-style convergence win for persistent contacts.
+    if prev_imp is not None and C > 0:
+        lam_c0 = jnp.einsum("bcik,bck->bci", basis, prev_imp).reshape(B, C * 3)
         lam0 = jnp.concatenate([lam_c0, jnp.zeros((B, L), jnp.float32)], axis=1)
         lam0 = project(lam0)
     else:
@@ -210,5 +253,10 @@ def solve(
     if C > 0:
         lam_c = lam[:, : C * 3].reshape(B, C, 3)
         impulse = jnp.einsum("bcik,bci->bck", basis, lam_c)  # world impulse on body2
-        contact = contact.replace(impulse=impulse)
+        if compact:
+            full = jnp.zeros((B, C_full, 3), jnp.float32)
+            full = full.at[jnp.arange(B)[:, None], idx].set(impulse)
+            contact = contact.replace(impulse=full)
+        else:
+            contact = contact.replace(impulse=impulse)
     return qvel_new, contact

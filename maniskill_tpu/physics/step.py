@@ -34,9 +34,9 @@ def step(model: Model, data: Data) -> Data:
     """Advance one physics substep (semi-implicit Euler)."""
     h = model.timestep
     data = forward_kinematics(model, data)
-    chol, qvel_pred, qacc, jac_lin, jac_rot = smooth_dynamics(model, data)
+    Minv, qvel_pred, qacc, jac_lin, jac_rot = smooth_dynamics(model, data)
     contact = collide(model, data)
-    qvel_new, contact = solve(model, data, chol, qvel_pred, contact)
+    qvel_new, contact = solve(model, data, Minv, qvel_pred, contact)
 
     qpos_new = integrate_qpos(model, data.qpos, qvel_new, h)
     return data.replace(

@@ -166,6 +166,10 @@ class Model:
     baumgarte: float = struct.field(pytree_node=False, default=0.2)
     max_correction_vel: float = struct.field(pytree_node=False, default=0.5)
     contact_margin: float = struct.field(pytree_node=False, default=0.0)
+    # top-K active-contact compaction (0 = disabled): the solver gathers the
+    # K deepest candidate contacts per env and solves only those rows — the
+    # candidate set is static and large, the ACTIVE set is small
+    max_active_contacts: int = struct.field(pytree_node=False, default=0)
 
     # name maps (static metadata)
     body_names: Tuple[str, ...] = struct.field(pytree_node=False, default=())
@@ -213,6 +217,9 @@ class Data:
     cvel: jax.Array  # (B, nbody, 6) [v_origin(3), omega(3)], world
     qacc: jax.Array  # (B, nv) last computed acceleration (smooth)
     contact: Optional[Contact] = None
+    # task-specific persistent per-env state (e.g. sticky reward flags);
+    # registered by envs at load time, reset-masked like everything else
+    extras: Dict[str, jax.Array] = struct.field(default_factory=dict)
 
     @property
     def batch_size(self) -> int:
@@ -240,6 +247,7 @@ def make_data(model: Model, batch_size: int, qpos0: Optional[np.ndarray] = None)
         cvel=jnp.zeros((B, model.nbody, 6), jnp.float32),
         qacc=z,
         contact=None,
+        extras={},
     )
     return data
 

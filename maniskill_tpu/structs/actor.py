@@ -143,6 +143,12 @@ class Actor:
         """Net contact force (B, 3) on this actor (base.py:116-144 parity)."""
         return self.scene.net_contact_forces_for_bodies([self.body_id])
 
+    def is_static_check(self, lin_thresh: float = 1e-2, ang_thresh: float = 0.5):
+        """Batched rest check (actor.py is_static semantics)."""
+        v = jnp.linalg.norm(self.linear_velocity, axis=-1)
+        w = jnp.linalg.norm(self.angular_velocity, axis=-1)
+        return (v <= lin_thresh) & (w <= ang_thresh)
+
     # -- misc ------------------------------------------------------------
     @property
     def geom_ids(self):

@@ -1,0 +1,80 @@
+"""Rendering / visual-obs tests (reference obs-mode matrix analog, SURVEY §4)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import maniskill_tpu.envs  # noqa: F401
+from maniskill_tpu.utils.registration import make
+
+SMALL = dict(width=48, height=48)
+
+
+def test_rgb_obs():
+    env = make("PushCube-v1", num_envs=2, obs_mode="rgb", sensor_configs=dict(**SMALL))
+    obs, _ = env.reset(seed=0)
+    rgb = obs["sensor_data"]["base_camera"]["rgb"]
+    assert rgb.shape == (2, 48, 48, 3)
+    assert rgb.dtype == jnp.uint8
+    # scene is lit: image must not be all-black / all-white
+    arr = np.asarray(rgb)
+    assert arr.max() > 30 and arr.min() < 240
+    obs, *_ = env.step(env.unwrapped.action_space.sample() * 0)
+    assert obs["sensor_data"]["base_camera"]["rgb"].shape == (2, 48, 48, 3)
+    env.close()
+
+
+def test_rgbd_segmentation_obs():
+    env = make(
+        "PushCube-v1", num_envs=2, obs_mode="rgb+depth+segmentation",
+        sensor_configs=dict(**SMALL),
+    )
+    obs, _ = env.reset(seed=0)
+    data = obs["sensor_data"]["base_camera"]
+    assert data["depth"].shape == (2, 48, 48, 1)
+    assert data["depth"].dtype == jnp.int16
+    assert data["segmentation"].shape == (2, 48, 48, 1)
+    # depth: mm units; camera ~0.7m from scene -> values in the hundreds
+    d = np.asarray(data["depth"])
+    assert d.max() > 300, d.max()
+    # segmentation: more than one id visible (table/ground + cube or robot)
+    seg = np.asarray(data["segmentation"])
+    assert len(np.unique(seg)) >= 2
+    env.close()
+
+
+def test_pointcloud_obs():
+    env = make(
+        "PushCube-v1", num_envs=2, obs_mode="pointcloud",
+        sensor_configs=dict(**SMALL),
+    )
+    obs, _ = env.reset(seed=0)
+    pcd = obs["pointcloud"]
+    assert pcd["xyzw"].shape == (2, 48 * 48, 4)
+    xyz = np.asarray(pcd["xyzw"])
+    valid = xyz[..., 3] > 0
+    assert valid.any()
+    # valid world points should be near the tabletop (z in [-1, 1])
+    zs = xyz[..., 2][valid]
+    assert np.all(zs > -1.5) and np.all(zs < 1.5)
+    env.close()
+
+
+def test_sensor_params():
+    env = make("PushCube-v1", num_envs=2, obs_mode="rgb", sensor_configs=dict(**SMALL))
+    obs, _ = env.reset(seed=0)
+    params = obs["sensor_param"]["base_camera"]
+    assert params["extrinsic_cv"].shape == (2, 3, 4)
+    assert params["cam2world_gl"].shape == (2, 4, 4)
+    assert params["intrinsic_cv"].shape == (2, 3, 3)
+    env.close()
+
+
+def test_human_render_camera():
+    env = make(
+        "PushCube-v1", num_envs=2, obs_mode="state", render_mode="rgb_array",
+        human_render_camera_configs=dict(width=64, height=64),
+    )
+    env.reset(seed=0)
+    img = env.render()
+    assert img.shape == (2, 64, 64, 3)
+    env.close()
