@@ -1,1 +1,2 @@
 from .panda.panda import Panda
+from .so100.so100 import SO100

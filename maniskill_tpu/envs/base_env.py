@@ -160,6 +160,7 @@ class BaseEnv(gym.Env):
         self.agent._setup_controllers()
         self._setup_sensors(options)
         self._after_reconfigure(options)
+        self._prebuild_render_meshes()
 
         # initial data with builder poses applied
         self._data0 = self._make_initial_data()
@@ -243,6 +244,17 @@ class BaseEnv(gym.Env):
 
     def _after_reconfigure(self, options: dict):
         pass
+
+    def _prebuild_render_meshes(self):
+        """Build SceneMeshes eagerly: construction reads concrete model
+        arrays, which inside the jit trace would be tracers."""
+        hidden = tuple(self._hidden_objects)
+        for sensor in self._sensors.values():
+            if hasattr(sensor, "_get_mesh"):
+                sensor._get_mesh(hidden)
+        for cam in self._human_render_cameras.values():
+            cam._get_mesh(())
+            cam._get_mesh(hidden)
 
     # ==================================================================
     # reset (sapien_env.py:857-978)
@@ -519,9 +531,11 @@ class BaseEnv(gym.Env):
         raise NotImplementedError(self.render_mode)
 
     def render_rgb_array(self):
+        # human render shows marker objects (only sensor captures hide them,
+        # mirroring the reference's _hidden_objects semantics)
         imgs = []
         for cam in self._human_render_cameras.values():
-            out = cam.get_obs(rgb=True, hidden_actors=self._hidden_objects)
+            out = cam.get_obs(rgb=True, hidden_actors=())
             imgs.append(out["rgb"])
         if not imgs:
             return None
