@@ -12,6 +12,13 @@ from .pd_joint_pos import (
 )
 from .pd_joint_vel import PDJointVelController, PDJointVelControllerConfig
 from .passive_controller import PassiveController, PassiveControllerConfig
+from .pd_joint_pos_vel import PDJointPosVelController, PDJointPosVelControllerConfig
+from .pd_base_vel import (
+    PDBaseForwardVelController,
+    PDBaseForwardVelControllerConfig,
+    PDBaseVelController,
+    PDBaseVelControllerConfig,
+)
 from .pd_ee_pose import (
     PDEEPosController,
     PDEEPosControllerConfig,
@@ -27,6 +34,9 @@ __all__ = [
     "PassiveController", "PassiveControllerConfig",
     "PDEEPosController", "PDEEPosControllerConfig",
     "PDEEPoseController", "PDEEPoseControllerConfig",
+    "PDJointPosVelController", "PDJointPosVelControllerConfig",
+    "PDBaseVelController", "PDBaseVelControllerConfig",
+    "PDBaseForwardVelController", "PDBaseForwardVelControllerConfig",
 ]
 
 

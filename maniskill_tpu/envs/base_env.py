@@ -343,11 +343,20 @@ class BaseEnv(gym.Env):
     # step (sapien_env.py:1042-1132)
     # ==================================================================
     def step(self, action):
-        action = common.to_tensor(action, jnp.float32)
-        if action.ndim == len(self.single_action_space.shape):
-            action = jnp.broadcast_to(
-                action, (self.num_envs,) + tuple(self.single_action_space.shape)
-            )
+        if isinstance(action, dict):
+            action = {
+                k: jnp.broadcast_to(
+                    common.to_tensor(v, jnp.float32),
+                    (self.num_envs,) + tuple(self.single_action_space[k].shape),
+                )
+                for k, v in action.items()
+            }
+        else:
+            action = common.to_tensor(action, jnp.float32)
+            if action.ndim == len(self.single_action_space.shape):
+                action = jnp.broadcast_to(
+                    action, (self.num_envs,) + tuple(self.single_action_space.shape)
+                )
         data, obs, reward, terminated, info = self._step_compiled(
             self.scene.data, action
         )

@@ -145,6 +145,44 @@ class ManiSkillScene:
         m = m.reshape(m.shape + (1,) * (new.ndim - 1))
         return jnp.where(m, new, cur)
 
+    # -- heterogeneous per-env parameters --------------------------------
+    # The reference fakes per-env assets through Actor.merge views over PhysX
+    # buffers (actor.py:99-126); here physical parameter tables natively
+    # broadcast over the env axis: promote a field to (B, ...) and scatter.
+    def set_per_env_geom_sizes(self, actor, sizes):
+        """sizes: (B, n_geoms_of_actor, 3) or (B, 3) for single-geom actors."""
+        m = self.model
+        gids = actor.geom_ids
+        gs = m.geom_size
+        if gs.ndim == 2:
+            gs = jnp.broadcast_to(gs, (self.num_envs,) + gs.shape)
+        sizes = jnp.asarray(sizes, jnp.float32)
+        if sizes.ndim == 2:
+            sizes = sizes[:, None, :]
+        self.model = m.replace(geom_size=gs.at[:, gids].set(sizes))
+
+    def set_per_env_body_mass(self, actor, mass):
+        """mass: (B,) dynamic-randomized masses for one body."""
+        m = self.model
+        bm = m.body_mass
+        if bm.ndim == 1:
+            bm = jnp.broadcast_to(bm, (self.num_envs,) + bm.shape)
+        self.model = m.replace(
+            body_mass=bm.at[:, actor.body_id].set(jnp.asarray(mass, jnp.float32))
+        )
+
+    def set_per_env_friction(self, actor, friction):
+        """friction: (B,) or (B, n_geoms) per-env friction for an actor."""
+        m = self.model
+        gf = m.geom_friction
+        if gf.ndim == 1:
+            gf = jnp.broadcast_to(gf, (self.num_envs,) + gf.shape)
+        gids = actor.geom_ids
+        f = jnp.asarray(friction, jnp.float32)
+        if f.ndim == 1:
+            f = jnp.broadcast_to(f[:, None], (self.num_envs, len(gids)))
+        self.model = m.replace(geom_friction=gf.at[:, gids].set(f))
+
     # -- task extras: persistent per-env state ---------------------------
     def register_extra(self, name: str, shape=(), dtype=jnp.float32):
         """Declare a persistent per-env task variable (zero-initialized,

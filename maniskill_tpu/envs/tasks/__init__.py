@@ -1,3 +1,4 @@
 from . import tabletop
 from . import control
 from . import benchmark
+from . import mobile_manipulation

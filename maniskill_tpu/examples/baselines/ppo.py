@@ -74,10 +74,14 @@ def main(argv=None):
         if it % args.eval_every == 0 or it == iters - 1:
             jax.block_until_ready(metrics["loss"])
             sps = steps_per_iter * (it + 1) / (time.time() - t0)
+            extra = " ".join(
+                f"{k}={float(v):.3g}" for k, v in metrics.items()
+                if k not in ("loss", "mean_reward")
+            )
             print(
                 f"iter {it}/{iters} loss {float(metrics['loss']):.4f} "
                 f"mean_reward {float(metrics['mean_reward']):.4f} "
-                f"env_steps/s {sps:,.0f}",
+                f"env_steps/s {sps:,.0f} {extra}",
                 flush=True,
             )
     # final greedy evaluation

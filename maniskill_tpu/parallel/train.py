@@ -35,6 +35,7 @@ class ActorCritic(nn.Module):
         pi = mlp(x)
         mean = nn.Dense(self.action_dim, kernel_init=nn.initializers.orthogonal(0.01))(pi)
         log_std = self.param("log_std", nn.initializers.constant(-0.5), (self.action_dim,))
+        log_std = jnp.clip(log_std, -4.0, 1.0)  # guard against std collapse/blowup
         v = nn.Dense(1)(mlp(x))[..., 0]
         return mean, log_std, v
 
@@ -99,8 +100,11 @@ def make_train_step(env, config: PPOConfig = PPOConfig()):
             )
             new_data, new_obs, reward, terminated = step_fn(data, action)
             elapsed = elapsed + 1
-            truncated = elapsed >= max_steps
+            truncated = (elapsed >= max_steps) & ~terminated
             done = terminated | truncated
+            # bootstrap truncated episodes with V(s') (CleanRL final_obs handling)
+            _, _, v_final = model.apply(params, new_obs)
+            reward = reward + config.gamma * v_final * truncated.astype(jnp.float32)
             # SAME_STEP autoreset (vector/wrappers/gymnasium.py:127-184)
             keys = jax.random.split(rkey, obs.shape[0])
             reset_data, reset_obs = reset_fn(new_data, done, keys)
@@ -149,7 +153,7 @@ def make_train_step(env, config: PPOConfig = PPOConfig()):
         logp = -0.5 * jnp.sum(
             ((actions - mean) / std) ** 2 + 2 * log_std + jnp.log(2 * jnp.pi), axis=-1
         )
-        ratio = jnp.exp(logp - old_logp)
+        ratio = jnp.exp(jnp.clip(logp - old_logp, -20.0, 20.0))
         advs_n = (advs - advs.mean()) / (advs.std() + 1e-8)
         pg1 = ratio * advs_n
         pg2 = jnp.clip(ratio, 1 - config.clip_eps, 1 + config.clip_eps) * advs_n
@@ -191,9 +195,18 @@ def make_train_step(env, config: PPOConfig = PPOConfig()):
             epoch, (params, opt_state, key), None, length=config.update_epochs
         )
         mean_reward = t_rew.mean()
-        return params, opt_state, data, obs, elapsed, key, dict(
-            loss=losses.mean(), mean_reward=mean_reward
+        flat_params = jax.tree_util.tree_leaves(params)
+        bad_params = sum(jnp.sum(~jnp.isfinite(p)) for p in flat_params)
+        metrics = dict(
+            loss=losses.mean(),
+            mean_reward=mean_reward,
+            bad_params=bad_params,
+            bad_rewards=jnp.sum(~jnp.isfinite(t_rew)),
+            bad_obs=jnp.sum(~jnp.isfinite(t_obs)),
+            max_action=jnp.max(jnp.abs(t_act)),
+            max_adv=jnp.max(jnp.abs(advs)),
         )
+        return params, opt_state, data, obs, elapsed, key, metrics
 
     return model, init_state, train_step
 

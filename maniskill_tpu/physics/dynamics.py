@@ -194,11 +194,20 @@ def spd_inverse(M: jax.Array) -> jax.Array:
     import numpy as np
 
     n = M.shape[-1]
-    # unrolled right-looking Cholesky
+    # Jacobi equilibration: mass matrices mix scales (arm links ~5 kg m^2 vs
+    # finger dofs ~1e-5), so f32 Cholesky cancellation noise (~eps*||M||)
+    # can exceed the small pivots and go negative. Scale to unit diagonal
+    # first; the scaled system's condition is only the coupling condition.
+    idx = jnp.arange(n)
+    dscale = jnp.sqrt(jnp.maximum(M[..., idx, idx], 1e-12))
+    s = 1.0 / dscale  # (B, n)
+    M = M * s[..., :, None] * s[..., None, :]
+
+    # unrolled right-looking Cholesky (diag ~1 after scaling)
     A = M
     cols = []
     for j in range(n):
-        d = jnp.sqrt(jnp.maximum(A[..., j, j], 1e-12))
+        d = jnp.sqrt(jnp.maximum(A[..., j, j], 1e-9))
         col = A[..., :, j] / d[..., None]  # (B, n)
         mask = jnp.asarray((np.arange(n) >= j), M.dtype)
         col = col * mask
@@ -215,7 +224,9 @@ def spd_inverse(M: jax.Array) -> jax.Array:
             acc = acc - L[..., i, k][..., None] * rows[k]
         rows.append(acc / L[..., i, i][..., None])
     Linv = jnp.stack(rows, axis=-2)  # (B, n, n)
-    return jnp.einsum("...ki,...kj->...ij", Linv, Linv)  # L^-T L^-1
+    Minv_scaled = jnp.einsum("...ki,...kj->...ij", Linv, Linv)  # L^-T L^-1
+    # undo the equilibration: M^-1 = S (S M S)^-1 S
+    return Minv_scaled * s[..., :, None] * s[..., None, :]
 
 
 def _kinematic_dof_mask(model: Model) -> jax.Array:

@@ -196,16 +196,17 @@ def solve(
     mu = cmu
 
     def project(lam):
+        cap_hi = model.max_impulse
         if C > 0:
             lc = lam[:, : C * 3].reshape(B, C, 3)
-            ln = jnp.maximum(lc[..., 0], 0.0)
+            ln = jnp.clip(lc[..., 0], 0.0, cap_hi)
             cap = mu * ln
             lt1 = jnp.clip(lc[..., 1], -cap, cap)
             lt2 = jnp.clip(lc[..., 2], -cap, cap)
             lc = jnp.stack([ln, lt1, lt2], axis=-1).reshape(B, C * 3)
         else:
             lc = lam[:, :0]
-        ll = jnp.maximum(lam[:, C * 3 :], 0.0)
+        ll = jnp.clip(lam[:, C * 3 :], 0.0, cap_hi)
         return jnp.concatenate([lc, ll], axis=1)
 
     def matvec(x):
@@ -225,10 +226,10 @@ def solve(
 
     x0 = arow.astype(jnp.float32)
     x0 = x0 / jnp.maximum(jnp.linalg.norm(x0, axis=-1, keepdims=True), 1e-12)
-    x = jax.lax.fori_loop(0, 6, pw_body, x0)
+    x = jax.lax.fori_loop(0, 8, pw_body, x0)
     y = inv_diag * matvec(x)
     rho = jnp.sum(x * y, axis=-1, keepdims=True)  # Rayleigh quotient
-    omega = 1.0 / jnp.maximum(rho, 1.0)
+    omega = 0.9 / jnp.maximum(rho, 1.0)
 
     def body(i, lam):
         # residual r = A lam + (v0 - target)

@@ -37,6 +37,8 @@ def step(model: Model, data: Data) -> Data:
     Minv, qvel_pred, qacc, jac_lin, jac_rot = smooth_dynamics(model, data)
     contact = collide(model, data)
     qvel_new, contact = solve(model, data, Minv, qvel_pred, contact)
+    # safety rail: bound velocities so one bad solve cannot cascade to inf
+    qvel_new = jnp.clip(qvel_new, -model.max_qvel, model.max_qvel)
 
     qpos_new = integrate_qpos(model, data.qpos, qvel_new, h)
     return data.replace(

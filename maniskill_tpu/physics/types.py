@@ -170,6 +170,10 @@ class Model:
     # K deepest candidate contacts per env and solves only those rows — the
     # candidate set is static and large, the ACTIVE set is small
     max_active_contacts: int = struct.field(pytree_node=False, default=0)
+    # engine safety rails (PhysX maxLinearVelocity analog): break numerical
+    # explosion chains before they reach inf/NaN
+    max_qvel: float = struct.field(pytree_node=False, default=100.0)
+    max_impulse: float = struct.field(pytree_node=False, default=1e4)
 
     # name maps (static metadata)
     body_names: Tuple[str, ...] = struct.field(pytree_node=False, default=())

@@ -37,17 +37,18 @@ class TableSceneBuilder(SceneBuilder):
 
     def initialize(self, env_idx):
         env = self.env
-        agent = env.agent
-        kf = agent.keyframes.get("rest")
-        if kf is not None and kf.qpos is not None:
-            qpos = jnp.asarray(kf.qpos, jnp.float32)
-            noise = env._batched_episode_rng.normal(
-                0.0, self.robot_init_qpos_noise, size=(len(qpos),)
-            )
-            # keep gripper joints exactly at keyframe
-            mask = np.ones(len(kf.qpos), np.float32)
-            if len(mask) >= 2:
-                mask[-2:] = 0.0
-            agent.reset(qpos + noise * jnp.asarray(mask))
-        else:
-            agent.reset()
+        agents = getattr(env.agent, "agents", [env.agent])
+        for agent in agents:
+            kf = getattr(agent, "keyframes", {}).get("rest")
+            if kf is not None and kf.qpos is not None:
+                qpos = jnp.asarray(kf.qpos, jnp.float32)
+                noise = env._batched_episode_rng.normal(
+                    0.0, self.robot_init_qpos_noise, size=(len(kf.qpos),)
+                )
+                # keep gripper joints exactly at keyframe
+                mask = np.ones(len(kf.qpos), np.float32)
+                if len(mask) >= 2:
+                    mask[-2:] = 0.0
+                agent.reset(qpos + noise * jnp.asarray(mask))
+            else:
+                agent.reset()
