@@ -1,1 +1,2 @@
 from .cartpole import CartpoleBalanceEnv, CartpoleSwingUpEnv
+from .hopper import HopperStandEnv, HopperHopEnv

@@ -37,14 +37,19 @@ def _sigmoid(x, value_at_1, kind):
 
 def tolerance(
     x,
-    bounds=(0.0, 0.0),
+    bounds=None,
     margin=0.0,
     sigmoid: str = "gaussian",
     value_at_margin: float = 0.1,
+    lower: float = 0.0,
+    upper: float = 0.0,
 ):
     """dm_control rewards.tolerance: 1 inside bounds, decays outside."""
-    lower, upper = bounds
+    if bounds is not None:
+        lower, upper = bounds
     x = jnp.asarray(x, jnp.float32)
+    lower = jnp.asarray(lower, jnp.float32)
+    upper = jnp.asarray(upper, jnp.float32)
     in_bounds = (x >= lower) & (x <= upper)
     if margin == 0:
         return in_bounds.astype(jnp.float32)
