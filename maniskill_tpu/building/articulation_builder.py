@@ -27,6 +27,7 @@ class ShapeSpec:
     friction: float = 1.0
     density: float = 1000.0
     color: Tuple[float, float, float, float] = (0.6, 0.6, 0.6, 1.0)
+    mesh: Optional[tuple] = None  # (verts, faces) for MESH visuals
 
 
 @dataclasses.dataclass
@@ -147,7 +148,7 @@ class ArticulationBuilder:
                 mb.add_geom(
                     body, v.type, np.asarray(v.size, float), pos=v.pos, quat=v.quat,
                     collision=False, contype=0, conaffinity=0, color=v.color,
-                    name=f"{prefix}{spec.name}_vis_{len(mb.geoms)}",
+                    name=f"{prefix}{spec.name}_vis_{len(mb.geoms)}", mesh=v.mesh,
                 )
 
             link = Link(self.scene, spec.name, body, articulation=art, index=len(art.links))

@@ -54,7 +54,8 @@ def _origin(el):
     return xyz, quat
 
 
-def _parse_geometry(geom_el, mesh_fallback: bool):
+def _parse_geometry(geom_el, mesh_fallback: bool, base_dir: str = ".",
+                    visual: bool = False):
     g = geom_el.find("geometry")
     if g is None:
         return None
@@ -78,14 +79,67 @@ def _parse_geometry(geom_el, mesh_fallback: bool):
         return ShapeSpec(CAPSULE, [r, hl, 0], pos, quat)
     mesh = g.find("mesh")
     if mesh is not None:
-        if mesh_fallback:
-            # no in-tree mesh pipeline yet: approximate with a small sphere
-            # at the geometry origin (callers should provide primitive
-            # collision substitutions for contact-critical links)
-            return ShapeSpec(SPHERE, [0.03, 0, 0], pos, quat)
-        logger.warning("URDF mesh geometry skipped (no mesh collider): %s",
-                       mesh.get("filename"))
+        return _cook_mesh(mesh, pos, quat, base_dir, visual, mesh_fallback)
     return None
+
+
+def _cook_mesh(mesh_el, pos, quat, base_dir, visual, mesh_fallback):
+    """Mesh geometry: load + cook with the native library.
+
+    Collision meshes get a fitted primitive (capsule for elongated shapes,
+    OBB otherwise — standing in for the reference's coacd convex pieces);
+    visual meshes are kept as triangle meshes for the rasterizer.
+    """
+    import os
+
+    from ..utils.geometry.mesh_io import decimate, load_mesh
+
+    fname = mesh_el.get("filename", "")
+    scale = _floats(mesh_el.get("scale"), np.ones(3))
+    path = fname
+    if not os.path.isabs(path):
+        path = os.path.join(base_dir, fname)
+    try:
+        verts, faces = load_mesh(path)
+    except (OSError, ValueError) as e:
+        if mesh_fallback:
+            return ShapeSpec(SPHERE, [0.03, 0, 0], pos, quat)
+        logger.warning("URDF mesh %s not loadable (%s); skipped", fname, e)
+        return None
+    verts = verts * np.asarray(scale, np.float32)
+
+    if visual:
+        verts, faces = decimate(verts, faces, 600)
+        return ShapeSpec(
+            5, [1.0, 1.0, 1.0], pos, quat, mesh=(verts, faces)
+        )  # MESH type
+
+    # collision: fit a primitive with the native cooking library
+    try:
+        from ..native import fit_capsule, fit_obb
+
+        center, oq, half = fit_obb(verts.astype(np.float64))
+        aspect = half.max() / max(np.median(half), 1e-6)
+        from ..structs.pose import Pose as _P
+
+        local = np.concatenate([center, oq])
+        combined = (
+            _P(np.concatenate([pos, quat]).astype(np.float32))
+            * _P(local.astype(np.float32))
+        ).raw_pose
+        combined = np.asarray(combined, np.float64)
+        if aspect > 2.5:
+            c2, q2, r, hl = fit_capsule(verts.astype(np.float64))
+            combined = (
+                _P(np.concatenate([pos, quat]).astype(np.float32))
+                * _P(np.concatenate([c2, q2]).astype(np.float32))
+            ).raw_pose
+            combined = np.asarray(combined, np.float64)
+            return ShapeSpec(CAPSULE, [r, hl, 0], combined[:3], combined[3:])
+        return ShapeSpec(BOX, half, combined[:3], combined[3:])
+    except Exception as e:  # cooking failed: conservative sphere
+        logger.warning("mesh cooking failed for %s (%s); sphere fallback", fname, e)
+        return ShapeSpec(SPHERE, [0.03, 0, 0], pos, quat)
 
 
 class URDFLoader:
@@ -100,6 +154,7 @@ class URDFLoader:
         self.mesh_fallback = False
 
     def parse(self, urdf_path: str) -> Dict:
+        base_dir = os.path.dirname(os.path.abspath(urdf_path))
         tree = etree.parse(urdf_path)
         robot = tree.getroot()
         links = {l.get("name"): l for l in robot.findall("link")}
@@ -185,11 +240,13 @@ class URDFLoader:
                 spec.inertia = np.full(3, 1e-8)
 
             for col in link_el.findall("collision"):
-                shape = _parse_geometry(col, self.mesh_fallback)
+                shape = _parse_geometry(col, self.mesh_fallback, base_dir)
                 if shape is not None:
                     spec.collisions.append(shape)
             for vis in link_el.findall("visual"):
-                shape = _parse_geometry(vis, mesh_fallback=True)
+                shape = _parse_geometry(
+                    vis, mesh_fallback=True, base_dir=base_dir, visual=True
+                )
                 if shape is not None:
                     spec.visuals.append(shape)
             builder.add_link(spec)

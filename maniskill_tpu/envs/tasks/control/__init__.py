@@ -1,2 +1,3 @@
 from .cartpole import CartpoleBalanceEnv, CartpoleSwingUpEnv
 from .hopper import HopperStandEnv, HopperHopEnv
+from .ant import AntWalkEnv, AntRunEnv

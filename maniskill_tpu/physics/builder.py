@@ -71,6 +71,7 @@ class GeomDef:
     color: Tuple[float, float, float, float] = (0.5, 0.5, 0.5, 1.0)
     visual: bool = True
     collision: bool = True
+    mesh: Optional[tuple] = None  # (verts (V,3) f32, faces (F,3) i32) for MESH visuals
 
 
 @dataclasses.dataclass
@@ -185,6 +186,7 @@ class ModelBuilder:
         color=(0.5, 0.5, 0.5, 1.0),
         visual: bool = True,
         collision: bool = True,
+        mesh=None,
     ) -> int:
         size = np.asarray(size, np.float64)
         if size.shape == ():
@@ -204,6 +206,7 @@ class ModelBuilder:
             color=tuple(color),
             visual=visual,
             collision=collision,
+            mesh=mesh,
         )
         self.geoms.append(g)
         return len(self.geoms) - 1

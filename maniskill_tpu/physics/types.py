@@ -44,6 +44,7 @@ SPHERE = 1
 BOX = 2
 CAPSULE = 3
 CYLINDER = 4
+MESH = 5  # visual-only (collision uses fitted primitives)
 
 # Body dynamic types (mirrors reference build_dynamic/kinematic/static,
 # mani_skill/utils/building/actor_builder.py:193-261)

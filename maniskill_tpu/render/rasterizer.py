@@ -61,7 +61,12 @@ class SceneMesh:
                 continue
             if gdef.body in exclude_body_ids:
                 continue
-            v, f = geom_mesh(gdef.type, geom_size[g])
+            if gdef.mesh is not None:
+                v, f = gdef.mesh
+                v = np.asarray(v, np.float32)
+                f = np.asarray(f, np.int32)
+            else:
+                v, f = geom_mesh(gdef.type, geom_size[g])
             verts_l.append(v)
             faces_l.append(f + voff)
             vgeom_l.append(np.full(len(v), g, np.int32))
