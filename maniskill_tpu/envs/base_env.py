@@ -227,6 +227,11 @@ class BaseEnv(gym.Env):
 
         self._sensors = {}
         configs = parse_camera_configs(self._default_sensor_configs)
+        # agent-mounted sensors (e.g. wrist cameras), base_agent._sensor_configs
+        agents = getattr(self.agent, "agents", [self.agent]) if self.robot_uids else []
+        for ag in agents:
+            ag_cfgs = parse_camera_configs(getattr(ag, "_sensor_configs", []))
+            configs.update(ag_cfgs)
         update_camera_configs_from_dict(configs, self._sensor_config_overrides)
         self._sensor_configs = configs
         for name, cfg in configs.items():

@@ -57,7 +57,9 @@ def main(argv=None):
     )
     model, init_state, train_step = make_train_step(env, config)
     key = jax.random.PRNGKey(args.seed)
-    params, opt_state, tx = init_state(key, obs_dim)
+    steps_per_iter_ = args.num_envs * args.rollout_steps
+    iters_ = max(1, args.total_steps // steps_per_iter_)
+    params, opt_state, tx = init_state(key, obs_dim, total_updates=iters_)
 
     step_fn = jax.jit(lambda p, o, d, ob, el, k: train_step(p, o, tx, d, ob, el, k))
 

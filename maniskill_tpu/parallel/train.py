@@ -76,13 +76,20 @@ def make_train_step(env, config: PPOConfig = PPOConfig()):
     step_fn, reset_fn = make_env_step_fns(env)
     model = ActorCritic(act_dim)
 
-    max_steps = 50
+    from ..utils.gym_utils import find_max_episode_steps_value
 
-    def init_state(key, obs_dim):
+    max_steps = find_max_episode_steps_value(env) or 50
+
+    def init_state(key, obs_dim, total_updates=None):
         params = model.init(key, jnp.zeros((1, obs_dim)))
+        if total_updates:
+            n_minib = total_updates * config.update_epochs * config.num_minibatches
+            lr = optax.linear_schedule(config.lr, 0.0, n_minib)
+        else:
+            lr = config.lr
         tx = optax.chain(
             optax.clip_by_global_norm(config.max_grad_norm),
-            optax.adam(config.lr),
+            optax.adam(lr),
         )
         opt_state = tx.init(params)
         return params, opt_state, tx

@@ -1,1 +1,3 @@
 from .camera import Camera, CameraConfig
+from .depth_camera import StereoDepthCamera, StereoDepthCameraConfig
+from .base_sensor import BaseSensor, BaseSensorConfig

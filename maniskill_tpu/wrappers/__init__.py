@@ -8,3 +8,4 @@ from .frame_stack import FrameStack
 from .action_repeat import ActionRepeatWrapper
 from .record import RecordEpisode
 from .cached_reset import CachedResetWrapper
+from .visual_encoders import VisualEncoderWrapper
