@@ -181,6 +181,9 @@ class MJCFLoader:
 
         defaults = _Defaults()
         defaults.parse(root)
+        compiler = root.find("compiler")
+        angle_deg = compiler is None or compiler.get("angle", "degree") == "degree"
+
 
         world = root.find("worldbody")
         if world is None:
@@ -202,29 +205,46 @@ class MJCFLoader:
 
             joints = body_el.findall("joint")
             free = body_el.find("freejoint")
+
+            def _fill_joint(spec_, j):
+                ja = defaults.resolve("joint", j, j.get("class", cls))
+                spec_.joint_type = {"hinge": HINGE, "slide": SLIDE, "free": FREE}.get(
+                    ja.get("type", "hinge"), HINGE
+                )
+                spec_.joint_name = j.get("name", spec_.name + "_joint")
+                spec_.axis = _f(ja.get("axis"), np.array([0, 0, 1.0]))
+                rng = _f(ja.get("range"))
+                if rng is not None and ja.get("limited", "true") != "false":
+                    lo, hi = float(rng[0]), float(rng[1])
+                    if angle_deg and spec_.joint_type == HINGE:
+                        lo, hi = np.deg2rad(lo), np.deg2rad(hi)
+                    spec_.limit = (lo, hi)
+                spec_.damping = float(ja.get("damping", 0.0))
+                spec_.armature = float(ja.get("armature", 0.0))
+
             if free is not None:
                 spec.joint_type = FREE
                 spec.joint_name = free.get("name", name + "_free")
             elif joints:
-                # one joint per body supported natively; extra joints get
-                # interposed dummy bodies
-                j = joints[0]
-                ja = defaults.resolve("joint", j, j.get("class", cls))
-                spec.joint_type = {"hinge": HINGE, "slide": SLIDE, "free": FREE}.get(
-                    ja.get("type", "hinge"), HINGE
-                )
-                spec.joint_name = j.get("name", name + "_joint")
-                spec.axis = _f(ja.get("axis"), np.array([0, 0, 1.0]))
-                rng = _f(ja.get("range"))
-                if rng is not None and ja.get("limited", "true") != "false":
-                    spec.limit = (float(rng[0]), float(rng[1]))
-                spec.damping = float(ja.get("damping", 0.0))
-                spec.armature = float(ja.get("armature", 0.0))
-                if len(joints) > 1:
-                    logger.warning(
-                        "MJCF body %s has %d joints; only the first is used",
-                        name, len(joints),
+                # multi-joint bodies become a chain of massless dummy bodies,
+                # one joint each (this engine is one-joint-per-body); the real
+                # body carries the LAST joint so geoms/inertia stay put
+                parent_for_real = spec.parent
+                origin_pos, origin_quat = spec.origin_pos, spec.origin_quat
+                for k, j in enumerate(joints[:-1]):
+                    dummy = LinkSpec(
+                        f"{name}_jchain{k}", parent_for_real,
+                        origin_pos=origin_pos if k == 0 else (0, 0, 0),
+                        origin_quat=origin_quat if k == 0 else (1, 0, 0, 0),
+                        mass=1e-4, inertia=np.full(3, 1e-8),
                     )
+                    _fill_joint(dummy, j)
+                    builder.add_link(dummy)
+                    parent_for_real = dummy.name
+                    origin_pos, origin_quat = (0, 0, 0), (1, 0, 0, 0)
+                spec.parent = parent_for_real
+                spec.origin_pos, spec.origin_quat = origin_pos, origin_quat
+                _fill_joint(spec, joints[-1])
             else:
                 spec.joint_type = FIXED
 

@@ -283,9 +283,26 @@ class BaseEnv(gym.Env):
         if reconfigure:
             self._reconfigure(options)
 
-        # per-env episode seeds (two-level RNG, sapien_env.py:980-1016)
-        new_seeds = self._main_rng.randint(0, 2**31, size=int(mask.sum()))
-        self._episode_seeds[mask] = new_seeds
+        # per-env episode seeds (two-level RNG, sapien_env.py:980-1016);
+        # an explicit seed list/array sets the episode seeds DIRECTLY so
+        # trajectory replay reproduces episodes (reference reset-seed-list
+        # semantics)
+        if isinstance(seed, (list, tuple, np.ndarray)):
+            explicit = np.asarray(seed, np.int64).reshape(-1)
+            if len(explicit) == int(mask.sum()):
+                self._episode_seeds[mask] = explicit
+            elif len(explicit) == self.num_envs:
+                self._episode_seeds[mask] = explicit[mask]
+            else:
+                self._episode_seeds[mask] = np.resize(explicit, int(mask.sum()))
+        elif seed is not None:
+            base_seed = np.asarray(
+                [seed + i for i in range(self.num_envs)], np.int64
+            )
+            self._episode_seeds[mask] = base_seed[mask]
+        else:
+            new_seeds = self._main_rng.randint(0, 2**31, size=int(mask.sum()))
+            self._episode_seeds[mask] = new_seeds
         keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(self._episode_seeds))
 
         data = self.scene.data if self.scene.data is not None else self._data0

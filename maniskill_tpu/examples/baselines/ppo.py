@@ -86,17 +86,38 @@ def main(argv=None):
                 f"env_steps/s {sps:,.0f} {extra}",
                 flush=True,
             )
-    # final greedy evaluation
-    base.scene.bind(data)
-    obs_eval, _ = env.reset(seed=123)
-    successes = jnp.zeros(args.num_envs, bool)
-    for _ in range(50):
-        mean, _, _ = model.apply(params, obs_eval)
-        obs_eval, rew, term, trunc, info = env.step(mean)
-        successes = successes | info["success"]
-    rate = float(successes.mean())
-    print(f"final eval success_once rate: {rate:.3f}", flush=True)
-    return rate
+    # save checkpoint
+    import pickle
+
+    with open("/tmp/ppo_params.pkl", "wb") as f:
+        pickle.dump(jax.device_get(params), f)
+
+    # final evaluation: greedy and stochastic
+    def evaluate(stochastic, seed):
+        base.scene.bind(data)
+        obs_eval, _ = env.reset(seed=seed)
+        successes = jnp.zeros(args.num_envs, bool)
+        ekey = jax.random.PRNGKey(seed)
+        for _ in range(50):
+            mean, log_std, _ = model.apply(params, obs_eval)
+            if stochastic:
+                ekey, sk = jax.random.split(ekey)
+                act = mean + jnp.exp(log_std) * jax.random.normal(sk, mean.shape)
+            else:
+                act = mean
+            obs_eval, rew, term, trunc, info = env.step(act)
+            successes = successes | info["success"]
+        # diagnostics: final cube-goal distance distribution
+        dist = jnp.linalg.norm(
+            base.obj.pose.p[:, :2] - base.goal_region.pose.p[:, :2], axis=1
+        ) if hasattr(base, "obj") else jnp.zeros(args.num_envs)
+        return float(successes.mean()), np.percentile(np.asarray(dist), [10, 50, 90])
+
+    g_rate, g_d = evaluate(False, 123)
+    s_rate, s_d = evaluate(True, 124)
+    print(f"final eval greedy success_once: {g_rate:.3f} dist p10/50/90 {np.round(g_d,3)}", flush=True)
+    print(f"final eval stochastic success_once: {s_rate:.3f} dist p10/50/90 {np.round(s_d,3)}", flush=True)
+    return g_rate
 
 
 if __name__ == "__main__":

@@ -116,7 +116,7 @@ def make_train_step(env, config: PPOConfig = PPOConfig()):
             keys = jax.random.split(rkey, obs.shape[0])
             reset_data, reset_obs = reset_fn(new_data, done, keys)
             elapsed = jnp.where(done, 0, elapsed)
-            out = (obs, action, logp, reward, done, value)
+            out = (obs, action, logp, reward, done, value, terminated)
             return (reset_data, reset_obs, elapsed, key), out
 
         (data, obs, elapsed, key), traj = jax.lax.scan(
@@ -125,7 +125,7 @@ def make_train_step(env, config: PPOConfig = PPOConfig()):
         return data, obs, elapsed, key, traj
 
     def compute_gae(traj, last_value):
-        obs, actions, logps, rewards, dones, values = traj
+        obs, actions, logps, rewards, dones, values, terms = traj
 
         def body(carry, t):
             gae, next_value = carry
@@ -173,7 +173,7 @@ def make_train_step(env, config: PPOConfig = PPOConfig()):
         data, obs, elapsed, key, traj = rollout(params, data, obs, elapsed, key)
         _, _, last_value = model.apply(params, obs)
         advs, returns = compute_gae(traj, last_value)
-        t_obs, t_act, t_logp, t_rew, t_done, t_val = traj
+        t_obs, t_act, t_logp, t_rew, t_done, t_val, t_term = traj
         flat = lambda x: x.reshape((-1,) + x.shape[2:])
         batch = (flat(t_obs), flat(t_act), flat(t_logp), flat(advs), flat(returns))
 
@@ -209,6 +209,7 @@ def make_train_step(env, config: PPOConfig = PPOConfig()):
             mean_reward=mean_reward,
             bad_params=bad_params,
             bad_rewards=jnp.sum(~jnp.isfinite(t_rew)),
+            term_frac=t_term.mean(),
             bad_obs=jnp.sum(~jnp.isfinite(t_obs)),
             max_action=jnp.max(jnp.abs(t_act)),
             max_adv=jnp.max(jnp.abs(advs)),

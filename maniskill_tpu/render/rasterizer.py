@@ -183,10 +183,32 @@ def rasterize(
         np.ones(F, bool) if face_mask is None else np.asarray(face_mask, bool)
     )
 
+    # Pallas fast path: z-buffer + face loop fully in VMEM (see
+    # pallas_rasterizer.py); falls back to the chunked jnp path on CPU or
+    # non-tile-aligned sizes.
+    from .pallas_rasterizer import pallas_available, pallas_rasterize_tiles
+
+    if pallas_available(height, width):
+        ok = (
+            ffront.all(-1)
+            & jnp.asarray(fmask_np)[None]
+        ).astype(jnp.int32)
+        inv_z = 1.0 / jnp.maximum(fz, 1e-6)
+        zbuf, fbuf = pallas_rasterize_tiles(fx, fy, inv_z, ok, height, width)
+        zbuf = jnp.where(fbuf < 0, big, zbuf)
+        return _shade(
+            mesh, world_verts, zbuf, fbuf, B, height, width, lights
+        )
+
+    # memory-adaptive face chunking: the coverage intermediates are
+    # (B, chunk, H, W) f32 — keep them under ~256 MB
+    budget = 64 * 1024 * 1024  # elements
+    chunk = max(4, min(FACE_CHUNK, budget // max(1, B * height * width)))
+
     # backface + facing handled implicitly (area sign); render both sides
-    n_chunks = (F + FACE_CHUNK - 1) // FACE_CHUNK
+    n_chunks = (F + chunk - 1) // chunk
     for c in range(n_chunks):
-        lo, hi = c * FACE_CHUNK, min((c + 1) * FACE_CHUNK, F)
+        lo, hi = c * chunk, min((c + 1) * chunk, F)
         if not fmask_np[lo:hi].any():
             continue
         x0, x1, x2 = fx[:, lo:hi, 0], fx[:, lo:hi, 1], fx[:, lo:hi, 2]
@@ -233,6 +255,12 @@ def rasterize(
         zbuf = jnp.where(better, zmin, zbuf)
         fbuf = jnp.where(better, amin, fbuf)
 
+    return _shade(mesh, world_verts, zbuf, fbuf, B, height, width, lights)
+
+
+def _shade(mesh, world_verts, zbuf, fbuf, B, height, width, lights):
+    """Shared shading tail: flat lambertian color from the face-id buffer."""
+    fv = np.asarray(mesh.faces)
     background = fbuf < 0
     fidx = jnp.maximum(fbuf, 0)
 
@@ -269,5 +297,6 @@ def rasterize(
     ).reshape(B, height, width, 3)
     pix_rgb = jnp.where(background[..., None], 0.0, pix_rgb)
 
+    big = jnp.float32(1e9)
     depth = jnp.where(background, 0.0, zbuf)
     return dict(depth=depth, face_id=jnp.where(background, -1, fbuf), color=pix_rgb)
