@@ -62,19 +62,19 @@ class ActorBuilder:
         (self.collisions if kind == "c" else self.visuals).append(rec)
         return self
 
-    def add_box_collision(self, pose=None, half_size=(0.1, 0.1, 0.1), density=1000.0, friction=0.5):
+    def add_box_collision(self, pose=None, half_size=(0.1, 0.1, 0.1), density=1000.0, friction=0.3):
         return self._add("c", BOX, half_size, pose, density, friction, None)
 
-    def add_sphere_collision(self, pose=None, radius=0.1, density=1000.0, friction=0.5):
+    def add_sphere_collision(self, pose=None, radius=0.1, density=1000.0, friction=0.3):
         return self._add("c", SPHERE, [radius, 0, 0], pose, density, friction, None)
 
-    def add_capsule_collision(self, pose=None, radius=0.1, half_length=0.1, density=1000.0, friction=0.5):
+    def add_capsule_collision(self, pose=None, radius=0.1, half_length=0.1, density=1000.0, friction=0.3):
         return self._add("c", CAPSULE, [radius, half_length, 0], pose, density, friction, None)
 
-    def add_cylinder_collision(self, pose=None, radius=0.1, half_length=0.1, density=1000.0, friction=0.5):
+    def add_cylinder_collision(self, pose=None, radius=0.1, half_length=0.1, density=1000.0, friction=0.3):
         return self._add("c", CYLINDER, [radius, half_length, 0], pose, density, friction, None)
 
-    def add_plane_collision(self, pose=None, friction=0.5):
+    def add_plane_collision(self, pose=None, friction=0.3):
         return self._add("c", PLANE, [0, 0, 0], pose, 0.0, friction, None)
 
     def add_box_visual(self, pose=None, half_size=(0.1, 0.1, 0.1), material=None, color=None):

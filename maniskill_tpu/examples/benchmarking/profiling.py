@@ -73,6 +73,16 @@ class Profiler:
             f"host {s['cpu_mem_mb']:.0f}MB device {s['gpu_mem_mb']:.0f}MB"
         )
 
+    @contextlib.contextmanager
+    def xprof_trace(self, logdir: str):
+        """Capture an XLA/TPU profile (view with xprof/tensorboard) — the
+        TPU-native upgrade over the reference's pynvml sampling."""
+        import jax
+
+        with jax.profiler.trace(logdir):
+            yield
+        self.log(f"xprof trace written to {logdir}")
+
     def update_csv(self, csv_path: str, config: Dict):
         """Append/replace a row keyed by config columns (profiling.py:53-90)."""
         rows = []

@@ -23,7 +23,7 @@ class TableSceneBuilder(SceneBuilder):
         b = scene.create_actor_builder()
         half = np.array([0.7, 0.8, 0.025])
         b.add_box_collision(
-            pose=np.array([0, 0, -half[2], 1, 0, 0, 0]), half_size=half, friction=1.0
+            pose=np.array([0, 0, -half[2], 1, 0, 0, 0]), half_size=half, friction=0.3
         )
         b.add_box_visual(
             pose=np.array([0, 0, -half[2], 1, 0, 0, 0]),

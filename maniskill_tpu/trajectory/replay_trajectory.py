@@ -85,14 +85,11 @@ def main(argv=None):
             _nested_to_arrays(traj["env_states"]) if "env_states" in traj else None
         )
         base = env.unwrapped
+        info = {}
         for t in range(len(actions)):
             if args.use_env_states and env_states is not None:
                 state_t = _index_nested(env_states, t + 1)
-                base.set_state_dict(
-                    jax.tree_util.tree_map(jnp.asarray, state_t)
-                    if False
-                    else _to_jnp(state_t)
-                )
+                base.set_state_dict(_to_jnp(state_t))
                 env.step(actions[t])
             else:
                 obs, rew, term, trunc, info = env.step(actions[t])
