@@ -113,11 +113,24 @@ class BaseAgent:
 
     def set_control_mode(self, control_mode: str):
         configs = self._controller_configs[control_mode]
+        balance_passive_force = True
         if isinstance(configs, dict):
+            configs = dict(configs)
+            balance_passive_force = configs.pop("balance_passive_force", True)
             controller = CombinedController(configs, self.robot, self.scene)
         else:
             controller = configs.controller_cls(configs, self.robot, self.scene)
         controller.set_drive_property()
+        if balance_passive_force:
+            # the reference disables gravity on all robot links
+            # (base_agent.py:278-284); here a per-body mask in the dynamics
+            import numpy as _np
+            import jax.numpy as _jnp
+
+            m = self.scene.model
+            gc = _np.asarray(m.body_gravcomp).copy()
+            gc[[l.body_id for l in self.robot.links]] = 1.0
+            self.scene.model = m.replace(body_gravcomp=_jnp.asarray(gc))
         self.controllers[control_mode] = controller
         self.controller = controller
         self.control_mode = control_mode

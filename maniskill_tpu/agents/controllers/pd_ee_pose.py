@@ -72,10 +72,25 @@ class PDEEPosController(PDJointPosController):
     def ee_pose_at_base(self) -> Pose:
         return self.articulation.root_pose.inv() * self.ee_pose
 
+    def _ref_ee_pq(self):
+        """Reference EE pose for delta composition: the *current* EE pose, or
+        (use_target) the EE pose implied by the persisted joint targets — FK
+        of drive_target — which makes zero deltas hold position exactly
+        (reference pd_ee_pose.py target_pose caching)."""
+        if self.config.use_target:
+            q_prev = self.scene.data.drive_target[:, self.kinematics.dof_adrs]
+            data_fk = self.kinematics._fk(q_prev)
+            eb = self.kinematics.end_link.body_id
+            return data_fk.xpos[:, eb], data_fk.xquat[:, eb], q_prev
+        cur = self.ee_pose
+        q0 = self.scene.data.qpos[:, self.q_adrs]
+        return cur.p, cur.q, q0
+
     def _target_ee_pose(self, action: jax.Array) -> jax.Array:
         """action -> world-frame target EE pose (B, 7)."""
         root = self.articulation.root_pose
-        cur = self.ee_pose
+        cur_p, cur_q, _ = self._ref_ee_pq()
+        cur = Pose.create_from_pq(p=cur_p, q=cur_q)
         if self.config.use_delta:
             # translation delta expressed in root frame
             dp_world = rc.quaternion_apply(root.q, action[..., :3])
@@ -95,7 +110,7 @@ class PDEEPosController(PDJointPosController):
             action, (self.scene.num_envs,) + action.shape[-1:]
         )
         target = self._target_ee_pose(action)
-        q0 = self.scene.data.qpos[:, self.q_adrs]
+        _, _, q0 = self._ref_ee_pq()
         q_new = self.kinematics.compute_ik(
             target, q0, pos_only=self._action_dim == 3
         )

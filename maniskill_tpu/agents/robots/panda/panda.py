@@ -221,6 +221,15 @@ class Panda(BaseAgent):
             **arm_common, pos_lower=-0.1, pos_upper=0.1,
             ee_link="panda_hand_tcp", use_delta=True,
         )
+        arm_pd_ee_target_delta_pos = PDEEPosControllerConfig(
+            **arm_common, pos_lower=-0.1, pos_upper=0.1,
+            ee_link="panda_hand_tcp", use_delta=True, use_target=True,
+        )
+        arm_pd_ee_target_delta_pose = PDEEPoseControllerConfig(
+            **arm_common, pos_lower=-0.1, pos_upper=0.1,
+            rot_lower=-0.1, rot_upper=0.1,
+            ee_link="panda_hand_tcp", use_delta=True, use_target=True,
+        )
         arm_pd_ee_delta_pose = PDEEPoseControllerConfig(
             **arm_common, pos_lower=-0.1, pos_upper=0.1,
             rot_lower=-0.1, rot_upper=0.1,
@@ -248,6 +257,12 @@ class Panda(BaseAgent):
             pd_joint_vel=dict(arm=arm_pd_joint_vel, gripper=gripper_pd_joint_pos),
             pd_ee_delta_pos=dict(arm=arm_pd_ee_delta_pos, gripper=gripper_pd_joint_pos),
             pd_ee_delta_pose=dict(arm=arm_pd_ee_delta_pose, gripper=gripper_pd_joint_pos),
+            pd_ee_target_delta_pos=dict(
+                arm=arm_pd_ee_target_delta_pos, gripper=gripper_pd_joint_pos
+            ),
+            pd_ee_target_delta_pose=dict(
+                arm=arm_pd_ee_target_delta_pose, gripper=gripper_pd_joint_pos
+            ),
         )
         return controller_configs
 

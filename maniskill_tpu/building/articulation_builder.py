@@ -41,6 +41,8 @@ class LinkSpec:
     axis: Sequence[float] = (0.0, 0.0, 1.0)
     limit: Tuple[float, float] = (-np.inf, np.inf)
     damping: float = 0.0
+    stiffness: float = 0.0
+    springref: float = 0.0
     armature: float = 0.0
     frictionloss: float = 0.0
     mass: Optional[float] = None  # None -> from collision shapes
@@ -131,6 +133,8 @@ class ArticulationBuilder:
                 inertia=inertia,
                 limit=spec.limit,
                 damping=spec.damping,
+                stiffness=spec.stiffness,
+                springref=spec.springref,
                 armature=spec.armature,
                 frictionloss=spec.frictionloss,
                 joint_name=spec.joint_name or (spec.name + "_joint"),

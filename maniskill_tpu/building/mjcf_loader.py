@@ -220,6 +220,8 @@ class MJCFLoader:
                         lo, hi = np.deg2rad(lo), np.deg2rad(hi)
                     spec_.limit = (lo, hi)
                 spec_.damping = float(ja.get("damping", 0.0))
+                spec_.stiffness = float(ja.get("stiffness", 0.0))
+                spec_.springref = float(ja.get("springref", 0.0))
                 spec_.armature = float(ja.get("armature", 0.0))
 
             if free is not None:

@@ -366,13 +366,23 @@ class BaseEnv(gym.Env):
     # ==================================================================
     def step(self, action):
         if isinstance(action, dict):
-            action = {
-                k: jnp.broadcast_to(
-                    common.to_tensor(v, jnp.float32),
-                    (self.num_envs,) + tuple(self.single_action_space[k].shape),
-                )
-                for k, v in action.items()
-            }
+            ctrl = self.agent.controller
+            if hasattr(ctrl, "action_mapping"):
+                # flat Box over named sub-controllers: route through
+                # from_action_dict (base_controller.py:336-347 parity)
+                parts = {}
+                for k, (lo, hi) in ctrl.action_mapping.items():
+                    v = common.to_tensor(action[k], jnp.float32)
+                    parts[k] = jnp.broadcast_to(v, (self.num_envs, hi - lo))
+                action = ctrl.from_action_dict(parts)
+            else:
+                action = {
+                    k: jnp.broadcast_to(
+                        common.to_tensor(v, jnp.float32),
+                        (self.num_envs,) + tuple(self.single_action_space[k].shape),
+                    )
+                    for k, v in action.items()
+                }
         else:
             action = common.to_tensor(action, jnp.float32)
             if action.ndim == len(self.single_action_space.shape):

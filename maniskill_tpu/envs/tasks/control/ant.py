@@ -99,7 +99,7 @@ class AntRobot(BaseAgent):
             + [f"ankle_{i}" for i in range(1, 5)],
             lower=-1, upper=1, damping=1e2, stiffness=1e3, use_delta=True,
         )
-        return dict(pd_joint_delta_pos=dict(body=body))
+        return dict(pd_joint_delta_pos=dict(body=body, balance_passive_force=False))
 
 
 class AntEnv(BaseEnv):

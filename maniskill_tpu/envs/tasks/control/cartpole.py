@@ -62,7 +62,7 @@ class CartPoleRobot(BaseAgent):
             damping=200, stiffness=2000, use_delta=True,
         )
         rest = PassiveControllerConfig(joint_names=["hinge_1"], damping=0, friction=0)
-        return dict(pd_joint_delta_pos=dict(slider=pd_joint_delta_pos, rest=rest))
+        return dict(pd_joint_delta_pos=dict(slider=pd_joint_delta_pos, rest=rest, balance_passive_force=False))
 
 
 class CartpoleEnv(BaseEnv):

@@ -142,7 +142,7 @@ class HopperRobot(BaseAgent):
         rest = PassiveControllerConfig(
             joint_names=["rootx", "rootz", "rooty"], damping=0, friction=0
         )
-        return dict(pd_joint_delta_pos=dict(body=body, ankle=ankle, rest=rest))
+        return dict(pd_joint_delta_pos=dict(body=body, ankle=ankle, rest=rest, balance_passive_force=False))
 
     def get_proprioception(self):
         # drop the x-slider qpos for x-translation invariance (reference parity)

@@ -28,6 +28,7 @@ def parse_args(argv=None):
     p.add_argument("--update-epochs", type=int, default=4)
     p.add_argument("--num-minibatches", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ignore-terminations", action="store_true")
     p.add_argument("--eval-every", type=int, default=10)
     return p.parse_args(argv)
 
@@ -54,6 +55,7 @@ def main(argv=None):
         lr=args.lr,
         update_epochs=args.update_epochs,
         num_minibatches=args.num_minibatches,
+        ignore_terminations=args.ignore_terminations,
     )
     model, init_state, train_step = make_train_step(env, config)
     key = jax.random.PRNGKey(args.seed)

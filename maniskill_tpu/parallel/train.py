@@ -51,6 +51,10 @@ class PPOConfig(NamedTuple):
     update_epochs: int = 4
     num_minibatches: int = 4
     max_grad_norm: float = 0.5
+    # infinite-horizon mode (reference ManiSkillVectorEnv ignore_terminations):
+    # success does not end the episode, removing the hover-at-the-boundary
+    # reward hack that early termination induces under discounting
+    ignore_terminations: bool = False
 
 
 def make_env_step_fns(env):
@@ -107,8 +111,12 @@ def make_train_step(env, config: PPOConfig = PPOConfig()):
             )
             new_data, new_obs, reward, terminated = step_fn(data, action)
             elapsed = elapsed + 1
-            truncated = (elapsed >= max_steps) & ~terminated
-            done = terminated | truncated
+            if config.ignore_terminations:
+                truncated = elapsed >= max_steps
+                done = truncated
+            else:
+                truncated = (elapsed >= max_steps) & ~terminated
+                done = terminated | truncated
             # bootstrap truncated episodes with V(s') (CleanRL final_obs handling)
             _, _, v_final = model.apply(params, new_obs)
             reward = reward + config.gamma * v_final * truncated.astype(jnp.float32)

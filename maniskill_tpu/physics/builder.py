@@ -50,6 +50,8 @@ class BodyDef:
     iquat: np.ndarray = None
     limit: Tuple[float, float] = (-np.inf, np.inf)
     damping: float = 0.0
+    stiffness: float = 0.0
+    springref: float = 0.0
     armature: float = 0.0
     frictionloss: float = 0.0
     # joint name (for articulation views); defaults to body name
@@ -139,6 +141,8 @@ class ModelBuilder:
         iquat=None,
         limit=(-np.inf, np.inf),
         damping: float = 0.0,
+        stiffness: float = 0.0,
+        springref: float = 0.0,
         armature: float = 0.0,
         frictionloss: float = 0.0,
         joint_name: Optional[str] = None,
@@ -161,6 +165,8 @@ class ModelBuilder:
             iquat=_arr(iquat, 4),
             limit=tuple(limit),
             damping=damping,
+            stiffness=stiffness,
+            springref=springref,
             armature=armature,
             frictionloss=frictionloss,
             joint_name=joint_name or name,
@@ -249,6 +255,8 @@ class ModelBuilder:
         dof_limit[:, 0] = -np.inf
         dof_limit[:, 1] = np.inf
         dof_damping = np.zeros(nv, np.float32)
+        dof_stiffness = np.zeros(nv, np.float32)
+        dof_springref = np.zeros(nv, np.float32)
         dof_armature = np.zeros(nv, np.float32)
         dof_friction = np.zeros(nv, np.float32)
         for i, b in enumerate(self.bodies):
@@ -264,6 +272,8 @@ class ModelBuilder:
                     dof_limited[va] = True
                     dof_limit[va] = (lo, hi)
                 dof_damping[va] = b.damping
+                dof_stiffness[va] = b.stiffness
+                dof_springref[va] = b.springref
                 dof_armature[va] = b.armature
                 dof_friction[va] = b.frictionloss
 
@@ -333,10 +343,13 @@ class ModelBuilder:
                 jnp.float32,
             ),
             body_mass=jnp.asarray([b.mass for b in self.bodies], jnp.float32),
+            body_gravcomp=jnp.zeros(len(self.bodies), jnp.float32),
             body_inertia=jnp.asarray(
                 np.stack([np.maximum(b.inertia, 1e-9) for b in self.bodies]), jnp.float32
             ),
             dof_damping=jnp.asarray(dof_damping),
+            dof_stiffness=jnp.asarray(dof_stiffness),
+            dof_springref=jnp.asarray(dof_springref),
             dof_armature=jnp.asarray(dof_armature),
             dof_friction=jnp.asarray(dof_friction),
             dof_limit=jnp.asarray(dof_limit),

@@ -105,7 +105,10 @@ def mass_matrix_and_bias(
     rc_ = com - data.xpos
     om = data.cvel[:, :, 3:]
     a_com = a0 + jnp.cross(al0, rc_) + jnp.cross(om, jnp.cross(om, rc_))
-    g = model.gravity  # (3,)
+    # per-body gravity compensation (the reference's balance_passive_force on
+    # GPU disables link gravity, base_agent.py:278-284; here it's a mask)
+    gc = model.body_gravcomp  # (nb,) or (B, nb)
+    g = model.gravity * (1.0 - gc)[..., None]  # (nb, 3) / (B, nb, 3)
     f_lin = mass[..., None] * (a_com - g)  # (B, nb, 3)
     Iw_om = jnp.einsum("bnij,bnj->bni", Iw, om)
     f_rot = jnp.einsum("bnij,bnj->bni", Iw, al0) + jnp.cross(om, Iw_om)
@@ -157,8 +160,16 @@ def smooth_dynamics(model: Model, data: Data):
     tau = tau + jnp.einsum("bndi,bni->bd", jac_lin, data.xfrc_applied[:, :, :3])
     tau = tau + jnp.einsum("bndi,bni->bd", jac_rot, data.xfrc_applied[:, :, 3:])
 
-    # implicit terms on the diagonal: armature + h*(drive kd + dof damping)
-    diag = model.dof_armature + h * (model.drive_kd + model.dof_damping)
+    # passive joint springs (MJCF joint stiffness): explicit force +
+    # implicit h^2*k on the diagonal for stability
+    q = joint_positions(model, data)
+    tau = tau - model.dof_stiffness * (q - model.dof_springref)
+
+    # implicit terms on the diagonal: armature + h*(drive kd + dof damping
+    # + h*spring stiffness)
+    diag = model.dof_armature + h * (
+        model.drive_kd + model.dof_damping + h * model.dof_stiffness
+    )
     # kinematic FREE bodies own dofs that must not be integrated by dynamics;
     # they also carry zero rows in M (excluded from jacobians), so pin their
     # diagonal to keep the factorization SPD.

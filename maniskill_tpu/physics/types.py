@@ -145,8 +145,11 @@ class Model:
     body_ipos: jax.Array  # (nbody, 3) COM offset in body frame
     body_iquat: jax.Array  # (nbody, 4) principal-inertia frame in body frame
     body_mass: jax.Array  # (nbody,)
+    body_gravcomp: jax.Array  # (nbody,) 1.0 = gravity-free (balance_passive_force)
     body_inertia: jax.Array  # (nbody, 3) principal moments
     dof_damping: jax.Array  # (nv,)
+    dof_stiffness: jax.Array  # (nv,) passive spring to springref (MJCF joint stiffness)
+    dof_springref: jax.Array  # (nv,)
     dof_armature: jax.Array  # (nv,)
     dof_friction: jax.Array  # (nv,) dry friction loss (not yet applied)
     dof_limit: jax.Array  # (nv, 2) lower/upper (±inf if unlimited)

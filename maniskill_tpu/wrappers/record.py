@@ -70,7 +70,12 @@ class RecordEpisode(gym.Wrapper):
             env_info=dict(
                 env_id=getattr(base, "uid", type(base).__name__),
                 max_episode_steps=getattr(env, "max_episode_steps", None),
-                env_kwargs=dict(num_envs=self.num_envs, obs_mode=base.obs_mode),
+                env_kwargs=dict(
+                    num_envs=self.num_envs,
+                    obs_mode=base.obs_mode,
+                    control_mode=base.control_mode,
+                    reward_mode=base.reward_mode,
+                ),
             ),
             episodes=[],
         )

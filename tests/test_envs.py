@@ -115,3 +115,18 @@ def test_vector_env_autoreset():
     assert "episode" in info
     assert info["episode"]["r"].shape == (2,)
     venv.close()
+
+
+def test_humanoid_stand_basics():
+    """21-dof humanoid: correct mass/height, finite obs, fail on fall."""
+    env = make("MS-HumanoidStand-v1", num_envs=2)
+    base = env.unwrapped
+    obs, _ = env.reset(seed=0)
+    masses = np.asarray(base.scene.model.body_mass)
+    assert abs(float(masses[base._link_ids].sum()) - 40.8) < 1.0  # dm_control ~40kg
+    assert np.allclose(np.asarray(base.head_height), 1.49, atol=0.02)
+    act = np.zeros((2, 21), np.float32)
+    obs, rew, term, trunc, info = env.step(act)
+    assert np.all(np.asarray(rew) > 0.9)  # standing reward ~1 at rest
+    assert bool(np.all(np.isfinite(np.asarray(obs))))
+    env.close()

@@ -270,3 +270,27 @@ def test_stack_of_boxes_stable():
     np.testing.assert_allclose(float(data.qpos[0, 9]), 0.06, atol=0.01)
     # top box still aligned over bottom box
     np.testing.assert_allclose(np.asarray(data.qpos[0, 7:9]), 0.0, atol=0.01)
+
+
+def test_passive_joint_spring():
+    """dof_stiffness pulls a hinge toward springref (MJCF joint stiffness)."""
+    import maniskill_tpu.physics as phys
+    from maniskill_tpu.physics.builder import ModelBuilder
+
+    mb = ModelBuilder(timestep=0.01)
+    mb.gravity = np.zeros(3)
+    b = mb.add_body("arm", jnt_type=HINGE, jnt_axis=(0, 1, 0),
+                    mass=1.0, inertia=np.array([0.1, 0.1, 0.1]),
+                    damping=0.5, stiffness=10.0, springref=0.0)
+    model = mb.finalize()
+    data = make_data(model, 1)
+    data = data.replace(qpos=jnp.full((1, 1), 1.0))
+    data = phys.forward(model, data)
+
+    def body(d, _):
+        d = phys.step(model, d)
+        return d, d.qpos[0, 0]
+
+    data, qs = jax.lax.scan(body, data, None, length=400)
+    # damped spring: settles near springref
+    assert abs(float(qs[-1])) < 0.05, float(qs[-1])
