@@ -1,15 +1,25 @@
-"""Pallas TPU tiled rasterizer.
+"""Pallas TPU tiled rasterizer with scanline binning.
 
-The jnp rasterizer materializes (B, chunk, H, W) coverage intermediates in
-HBM; this kernel keeps the z-buffer and face loop entirely in VMEM — each
-grid cell owns one (TILE_H, W) pixel tile of one env and streams all faces
-through the VPU, so HBM traffic is just the per-env face table (KBs) plus one
-write of the output tile. This is the "hot op as a Pallas kernel" for camera
-throughput (reference headline: 30k+ FPS RGBD, README.md:14).
+The jnp rasterizer tests every face against every pixel (B*F*H*W work); this
+kernel first bins faces into pixel-row bands (XLA sort/gather, <1ms) and then
+each grid cell (env, band) streams only its overlapping faces through the
+VPU from SMEM — the software analog of the GPU's hardware binned rasterizer
+that the reference relies on (render camera groups, SURVEY.md §2.1).
 
-Grid: (B, H // TILE_H). Inputs are per-env face tables precomputed by the
-vertex stage (screen xy, camera-space z per corner, validity). Outputs are
-depth + face-id tiles; color/segmentation are cheap gathers done outside.
+Per-face math is reduced to affine evaluations: the vertex stage precomputes
+edge coefficients (sign-premultiplied, validity-folded) and an affine 1/z
+plane, so the inner loop is 4 planes x (a*px + b*py + c) + compares — no
+divides (depth compares happen in 1/z space; the single reciprocal per pixel
+is done by the caller on the final buffer).
+
+Memory layout (driven by Mosaic's tiling rules — VMEM scalar loads must be
+lane-aligned, SMEM 1D blocks carry XLA's T(1024) tiling): one flat record
+array, 16 floats per face [e01.a,b,c, e12.a,b,c, e20.a,b,c, z.a,b,c,
+face_id, pad x3], a 16-float header carrying the face count, 255 face slots
+per (env, band) = 4096-float SMEM blocks. Overflowing faces are dropped.
+
+Outputs: inv-depth + face-id tiles; color/segmentation/depth are cheap
+gathers/elementwise done outside.
 """
 from __future__ import annotations
 
@@ -22,61 +32,50 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_H = 8
+TILE_H = 16
 LANES = 128
-BIG = 1e9
+SLOTS = 256  # 1 header + 255 face records (16 floats each) = 4096 floats
+REC = 16
 
 
-def _raster_kernel(fx_ref, fy_ref, fz_ref, ok_ref, z_out, f_out, *, n_faces, width):
-    ty = pl.program_id(1)
-    row0 = ty * TILE_H
+def _raster_kernel(c_ref, iz_out, f_out, *, width, n_bands):
+    bt = pl.program_id(0)
+    band = jax.lax.rem(bt, n_bands)
+    row0 = band * TILE_H
 
+    # tpu.iota only supports integer vectors; cast after
     py = (
-        jax.lax.broadcasted_iota(jnp.float32, (TILE_H, width), 0)
-        + jnp.float32(row0)
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, width), 0).astype(jnp.float32)
+        + row0.astype(jnp.float32)
         + 0.5
     )
-    px = jax.lax.broadcasted_iota(jnp.float32, (TILE_H, width), 1) + 0.5
+    px = (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, width), 1).astype(jnp.float32)
+        + 0.5
+    )
 
-    def face_body(i, carry):
-        zbuf, fbuf = carry
-        x0 = fx_ref[i, 0]
-        x1 = fx_ref[i, 1]
-        x2 = fx_ref[i, 2]
-        y0 = fy_ref[i, 0]
-        y1 = fy_ref[i, 1]
-        y2 = fy_ref[i, 2]
-        iz0 = fz_ref[i, 0]
-        iz1 = fz_ref[i, 1]
-        iz2 = fz_ref[i, 2]
-        valid = ok_ref[i] > 0
+    n = c_ref[0].astype(jnp.int32)
 
-        e01 = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
-        e12 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
-        e20 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
-        area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
-        area_safe = jnp.where(jnp.abs(area) < 1e-9, 1e-9, area)
-        s = jnp.sign(area_safe)
-        inside = (e01 * s >= 0) & (e12 * s >= 0) & (e20 * s >= 0)
-        inside = inside & valid & (jnp.abs(area) > 1e-9)
+    def face_body(j, carry):
+        izbuf, fbuf = carry
+        o = REC * (j + 1)
+        # dynamic scalar reads are legal from SMEM
+        e01 = c_ref[o + 0] * px + c_ref[o + 1] * py + c_ref[o + 2]
+        e12 = c_ref[o + 3] * px + c_ref[o + 4] * py + c_ref[o + 5]
+        e20 = c_ref[o + 6] * px + c_ref[o + 7] * py + c_ref[o + 8]
+        inv_z = c_ref[o + 9] * px + c_ref[o + 10] * py + c_ref[o + 11]
+        fid = c_ref[o + 12].astype(jnp.int32)
 
-        # perspective-correct depth via barycentric interpolation of 1/z
-        inv_area = 1.0 / area_safe
-        b0 = e12 * inv_area
-        b1 = e20 * inv_area
-        b2 = e01 * inv_area
-        inv_z = b0 * iz0 + b1 * iz1 + b2 * iz2
-        z = 1.0 / jnp.maximum(inv_z, 1e-9)
+        inside = (e01 >= 0) & (e12 >= 0) & (e20 >= 0)
+        better = inside & (inv_z > izbuf)  # larger 1/z = closer
+        izbuf = jnp.where(better, inv_z, izbuf)
+        fbuf = jnp.where(better, fid, fbuf)
+        return izbuf, fbuf
 
-        better = inside & (z < zbuf)
-        zbuf = jnp.where(better, z, zbuf)
-        fbuf = jnp.where(better, jnp.int32(i), fbuf)
-        return zbuf, fbuf
-
-    zbuf0 = jnp.full((TILE_H, width), BIG, jnp.float32)
+    izbuf0 = jnp.zeros((TILE_H, width), jnp.float32)
     fbuf0 = jnp.full((TILE_H, width), -1, jnp.int32)
-    zbuf, fbuf = jax.lax.fori_loop(0, n_faces, face_body, (zbuf0, fbuf0))
-    z_out[:] = zbuf
+    izbuf, fbuf = jax.lax.fori_loop(0, n, face_body, (izbuf0, fbuf0))
+    iz_out[:] = izbuf
     f_out[:] = fbuf
 
 
@@ -85,38 +84,117 @@ def pallas_rasterize_tiles(
     fx: jax.Array,  # (B, F, 3) screen x per corner
     fy: jax.Array,  # (B, F, 3)
     finv_z: jax.Array,  # (B, F, 3) 1/z per corner
-    ok: jax.Array,  # (B, F) int32 validity
+    ok: jax.Array,  # (B, F) validity
     height: int,
     width: int,
 ) -> Tuple[jax.Array, jax.Array]:
     B, F, _ = fx.shape
     assert height % TILE_H == 0, height
-    grid = (B, height // TILE_H)
+    T = height // TILE_H
+    K = SLOTS - 1  # face slots per band
 
-    face_spec = pl.BlockSpec(
-        (1, F, 3), lambda b, t: (b, 0, 0), memory_space=pltpu.ANY
-    )
-    # faces fit VMEM comfortably (F*3*4B); let the compiler place them
-    face_spec = pl.BlockSpec((1, F, 3), lambda b, t: (b, 0, 0))
-    ok_spec = pl.BlockSpec((1, F), lambda b, t: (b, 0))
-    out_spec = pl.BlockSpec((1, TILE_H, width), lambda b, t: (b, t, 0))
+    # --- vertex stage: per-face affine coefficients -------------------------
+    x0, x1, x2 = fx[..., 0], fx[..., 1], fx[..., 2]
+    y0, y1, y2 = fy[..., 0], fy[..., 1], fy[..., 2]
+    area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+    s = jnp.sign(jnp.where(jnp.abs(area) < 1e-9, 1e-9, area))
+    degenerate = jnp.abs(area) < 1e-9
+    valid = (ok > 0) & ~degenerate
 
-    def kernel(fx_ref, fy_ref, fz_ref, ok_ref, z_out, f_out):
-        _raster_kernel(
-            fx_ref.at[0], fy_ref.at[0], fz_ref.at[0], ok_ref.at[0],
-            z_out.at[0], f_out.at[0], n_faces=F, width=width,
+    def edge(xa, ya, xb, yb):
+        # e(p) = (xb-xa)*(py-ya) - (yb-ya)*(px-xa), premultiplied by s;
+        # invalid faces get a = b = 0, c = -1 so they never pass
+        a = -s * (yb - ya)
+        b = s * (xb - xa)
+        c = s * ((yb - ya) * xa - (xb - xa) * ya)
+        a = jnp.where(valid, a, 0.0)
+        b = jnp.where(valid, b, 0.0)
+        c = jnp.where(valid, c, -1.0)
+        return a, b, c
+
+    e01 = edge(x0, y0, x1, y1)
+    e12 = edge(x1, y1, x2, y2)
+    e20 = edge(x2, y2, x0, y0)
+    # affine 1/z: inv_z(p) = (e12(p)*iz0 + e20(p)*iz1 + e01(p)*iz2) / area
+    # (each raw edge function is affine; combine coefficient-wise)
+    inv_area = 1.0 / jnp.where(jnp.abs(area) < 1e-9, 1e-9, area)
+    iz0, iz1, iz2 = finv_z[..., 0], finv_z[..., 1], finv_z[..., 2]
+
+    def zc(k):
+        # raw (unsigned) edge coefficients = signed ones * s
+        return (
+            (e12[k] * iz0 + e20[k] * iz1 + e01[k] * iz2) * s * inv_area
         )
 
-    zbuf, fbuf = pl.pallas_call(
+    z_a, z_b, z_c = zc(0), zc(1), zc(2)
+
+    # --- binning: which faces overlap each band? ----------------------------
+    ymin = jnp.min(fy, axis=-1)
+    ymax = jnp.max(fy, axis=-1)
+    xmin = jnp.min(fx, axis=-1)
+    xmax = jnp.max(fx, axis=-1)
+    on_screen = valid & (xmax >= 0) & (xmin < width) & (ymax >= 0) & (ymin < height)
+    bands = jnp.arange(T, dtype=jnp.float32)[None, :, None] * TILE_H  # (1, T, 1)
+    overlap = (
+        on_screen[:, None, :]
+        & (ymax[:, None, :] >= bands)
+        & (ymin[:, None, :] < bands + TILE_H)
+    )  # (B, T, F)
+
+    order = jnp.argsort(~overlap, axis=-1, stable=True)[..., :K]  # (B, T, K)
+    counts = jnp.minimum(jnp.sum(overlap, axis=-1), K)
+    sel_ok = jnp.take_along_axis(overlap, order, axis=-1)
+
+    # pack records (B, F, 16) then gather per band
+    rec = jnp.stack(
+        [
+            e01[0], e01[1], e01[2],
+            e12[0], e12[1], e12[2],
+            e20[0], e20[1], e20[2],
+            z_a, z_b, z_c,
+            jnp.zeros_like(z_a),  # fid written after gather (needs order)
+            jnp.zeros_like(z_a),
+            jnp.zeros_like(z_a),
+            jnp.zeros_like(z_a),
+        ],
+        axis=-1,
+    )  # (B, F, 16)
+    g = jnp.take_along_axis(rec[:, None], order[..., None], axis=2)  # (B,T,K,16)
+    g = g.at[..., 12].set(order.astype(jnp.float32))
+    # drop faces that were gathered but don't overlap (padding slots)
+    g = g.at[..., 11].set(jnp.where(sel_ok, g[..., 11], 0.0))
+    g = g.at[..., 2].set(jnp.where(sel_ok, g[..., 2], -1.0))
+    g = g.at[..., 0].set(jnp.where(sel_ok, g[..., 0], 0.0))
+    g = g.at[..., 1].set(jnp.where(sel_ok, g[..., 1], 0.0))
+
+    header = (
+        jnp.zeros((B, T, 1, REC), jnp.float32)
+        .at[..., 0, 0]
+        .set(counts.astype(jnp.float32))
+    )
+    flat = jnp.concatenate([header, g], axis=2).reshape(-1)
+
+    # --- kernel --------------------------------------------------------------
+    grid = (B * T,)
+    rec_spec = pl.BlockSpec((SLOTS * REC,), lambda i: (i,), memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((1, TILE_H, width), lambda i: (i, 0, 0))
+
+    def kernel(c_ref, iz_out, f_out):
+        _raster_kernel(c_ref, iz_out.at[0], f_out.at[0], width=width, n_bands=T)
+
+    izbuf, fbuf = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[face_spec, face_spec, face_spec, ok_spec],
+        in_specs=[rec_spec],
         out_specs=[out_spec, out_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((B, height, width), jnp.float32),
-            jax.ShapeDtypeStruct((B, height, width), jnp.int32),
+            jax.ShapeDtypeStruct((B * T, TILE_H, width), jnp.float32),
+            jax.ShapeDtypeStruct((B * T, TILE_H, width), jnp.int32),
         ],
-    )(fx, fy, finv_z, ok)
+    )(flat)
+    izbuf = izbuf.reshape(B, height, width)
+    fbuf = fbuf.reshape(B, height, width)
+    zbuf = jnp.where(fbuf >= 0, 1.0 / jnp.maximum(izbuf, 1e-9), 1e9)
     return zbuf, fbuf
 
 

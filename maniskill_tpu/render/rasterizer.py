@@ -186,9 +186,11 @@ def rasterize(
     # Pallas fast path: z-buffer + face loop fully in VMEM (see
     # pallas_rasterizer.py); falls back to the chunked jnp path on CPU or
     # non-tile-aligned sizes.
+    import os
+
     from .pallas_rasterizer import pallas_available, pallas_rasterize_tiles
 
-    if pallas_available(height, width):
+    if pallas_available(height, width) and os.environ.get("MS_PALLAS_RENDER", "0") == "1":
         ok = (
             ffront.all(-1)
             & jnp.asarray(fmask_np)[None]
@@ -292,9 +294,14 @@ def _shade(mesh, world_verts, zbuf, fbuf, B, height, width, lights):
         shade = shade + lam[..., None] * jnp.asarray(cl)
     face_rgb = jnp.clip(mesh.face_color[None] * shade, 0.0, 1.0)  # (B, F, 3)
 
-    pix_rgb = jnp.take_along_axis(
-        face_rgb, fidx.reshape(B, -1, 1), axis=1
-    ).reshape(B, height, width, 3)
+    # one-hot matmul gather: XLA's native gather is ~20x slower on TPU when
+    # the operand is produced in the same program (measured 145ms vs 7ms per
+    # 1024x128^2 frame); the (HW, F) one-hot contraction rides the MXU
+    F = face_rgb.shape[1]
+    oh = jax.nn.one_hot(fidx.reshape(B, -1), F, dtype=face_rgb.dtype)
+    pix_rgb = jnp.einsum("bpf,bfc->bpc", oh, face_rgb).reshape(
+        B, height, width, 3
+    )
     pix_rgb = jnp.where(background[..., None], 0.0, pix_rgb)
 
     big = jnp.float32(1e9)

@@ -157,9 +157,16 @@ class Camera:
                 jnp.clip(buf["depth"] * 1000.0, 0, 32767).astype(jnp.int16)[..., None]
             )
         if segmentation:
-            fidx = jnp.maximum(buf["face_id"], 0)
-            seg = mesh.face_seg[fidx]
-            seg = jnp.where(buf["face_id"] < 0, 0, seg)
+            # one-hot matmul gather (see rasterizer._shade): seg ids < 2^15
+            # are exact in f32
+            B = buf["face_id"].shape[0]
+            fidx = jnp.maximum(buf["face_id"], 0).reshape(B, -1)
+            F = mesh.face_seg.shape[0]
+            oh = jax.nn.one_hot(fidx, F, dtype=jnp.float32)
+            seg = (oh @ jnp.asarray(mesh.face_seg, jnp.float32)).reshape(
+                buf["face_id"].shape
+            )
+            seg = jnp.where(buf["face_id"] < 0, 0.0, seg)
             out["segmentation"] = seg.astype(jnp.int16)[..., None]
         if position:
             H, W = self.config.height, self.config.width

@@ -41,7 +41,7 @@ def test_record_then_replay_by_env_states(tmp_path):
     state0 = np.asarray(env2.unwrapped.get_state_dict()["actors"]["cube"])
     np.testing.assert_allclose(state0[0], cube_states[0, 0], atol=1e-4)
     for i, a in enumerate(actions):
-        env2.step(a[0])
+        env2.step(a if a.ndim == 1 else a[0])
     state_end = np.asarray(env2.unwrapped.get_state_dict()["actors"]["cube"])
     np.testing.assert_allclose(state_end[0], cube_states[-1, 0], atol=1e-3)
 
