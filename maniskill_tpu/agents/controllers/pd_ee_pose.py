@@ -149,7 +149,8 @@ class PDEEPoseController(PDEEPosController):
 
     def _target_ee_pose(self, action: jax.Array) -> jax.Array:
         root = self.articulation.root_pose
-        cur = self.ee_pose
+        cur_p, cur_q, _ = self._ref_ee_pq()
+        cur = Pose.create_from_pq(p=cur_p, q=cur_q)
         if self.config.use_delta:
             dp_world = rc.quaternion_apply(root.q, action[..., :3])
             p = cur.p + dp_world

@@ -20,7 +20,11 @@ _LIB: Optional[ctypes.CDLL] = None
 
 
 def _build() -> Path:
-    so = _DIR / "libcooking.so"
+    # Build into a gitignored cache dir so only reviewable source is ever
+    # committed; the .so is always produced locally from cooking.cpp.
+    build_dir = _DIR / "build"
+    build_dir.mkdir(exist_ok=True)
+    so = build_dir / "libcooking.so"
     src = _DIR / "cooking.cpp"
     if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
         subprocess.check_call(

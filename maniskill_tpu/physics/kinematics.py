@@ -1,10 +1,11 @@
 """Forward kinematics / velocity propagation / Jacobian building blocks.
 
-The kinematic forest is unrolled at trace time (topology is static numpy in
-``Model``); every per-body operation is batched over the env axis, so each
-unrolled op is a (B, 3/4)-wide VPU op. This replaces the reference's
-``px.gpu_update_articulation_kinematics`` (SURVEY.md §2.2) with a pure
-function.
+The kinematic forest is processed LEVEL-BY-LEVEL (all bodies at the same
+tree depth in one batched op): the sequential chain length is the tree depth,
+not the body count, and every level is a handful of (B, L, 3/4) vector ops —
+XLA sees ~depth x 15 fused ops instead of nbody x 10 scalar-width ones. This
+replaces the reference's ``px.gpu_update_articulation_kinematics``
+(SURVEY.md §2.2) with a pure function.
 
 Conventions:
 - world body = index 0 (STATIC, FIXED joint), pose = identity.
@@ -23,117 +24,176 @@ import numpy as np
 from ..utils.geometry import rotation_conversions as rc
 from .types import BOX, FIXED, FREE, HINGE, SLIDE, Data, Model
 
+_PLAN_CACHE: dict = {}
 
-def _bget(arr: jax.Array, idx: int) -> jax.Array:
-    """Index a model parameter on its body/geom axis, tolerating an optional
+
+class _FKPlan:
+    """Static index tables for level-scheduled kinematics (numpy only)."""
+
+    def __init__(self, model: Model):
+        nb = model.nbody
+        jt = np.asarray(model.body_jnt_type)
+        parent = np.asarray(model.body_parent)
+        q_adr = np.asarray(model.body_q_adr)
+        dof_adr = np.asarray(model.body_dof_adr)
+
+        self.free = np.nonzero(jt == FREE)[0].astype(np.int32)
+        if len(self.free):
+            self.free_q_idx = (
+                q_adr[self.free][:, None] + np.arange(7)[None]
+            ).astype(np.int32)
+            self.free_v_idx = (
+                dof_adr[self.free][:, None] + np.arange(6)[None]
+            ).astype(np.int32)
+
+        # tree depth (free bodies are roots: their pose ignores the parent)
+        depth = np.zeros(nb, np.int64)
+        for b in range(1, nb):
+            depth[b] = 0 if jt[b] == FREE else depth[parent[b]] + 1
+        self.levels = []
+        maxd = int(depth.max()) if nb > 1 else 0
+        for d in range(1, maxd + 1):
+            bl = np.nonzero((depth == d) & (jt != FREE))[0].astype(np.int32)
+            if len(bl) == 0:
+                continue
+            lv = dict(
+                bodies=bl,
+                parents=parent[bl].astype(np.int32),
+                is_hinge=(jt[bl] == HINGE),
+                is_slide=(jt[bl] == SLIDE),
+                has_q=((jt[bl] == HINGE) | (jt[bl] == SLIDE)),
+                # FIXED joints gather slot 0 and mask to zero
+                q_idx=np.where(jt[bl] == FIXED, 0, q_adr[bl]).astype(np.int32),
+                v_idx=np.where(jt[bl] == FIXED, 0, dof_adr[bl]).astype(np.int32),
+            )
+            self.levels.append(lv)
+
+        # ---- per-dof tables (dof_frames / joint_positions) ----
+        nv = model.nv
+        dof_body = np.asarray(model.dof_body)
+        self.dof_body = dof_body.astype(np.int32)
+        is_free_dof = np.zeros(nv, bool)
+        const_axis = np.zeros((nv, 3), np.float32)
+        q_of_dof = np.zeros(nv, np.int32)
+        q_mask = np.zeros(nv, np.float32)
+        for b in range(nb):
+            va = int(dof_adr[b])
+            if jt[b] == FREE:
+                for i in range(6):
+                    is_free_dof[va + i] = True
+                    const_axis[va + i, i % 3] = 1.0
+            elif jt[b] in (HINGE, SLIDE):
+                q_of_dof[va] = q_adr[b]
+                q_mask[va] = 1.0
+        self.is_free_dof = is_free_dof
+        self.const_axis = const_axis
+        self.q_of_dof = q_of_dof
+        self.q_mask = q_mask
+
+        # 1-dof joints for integrate_qpos
+        one = np.nonzero((jt == HINGE) | (jt == SLIDE))[0]
+        self.one_q = q_adr[one].astype(np.int32)
+        self.one_v = dof_adr[one].astype(np.int32)
+
+
+def fk_plan(model: Model) -> _FKPlan:
+    key = (
+        model.body_parent,
+        model.body_jnt_type,
+        model.body_q_adr,
+        model.body_dof_adr,
+        model.dof_body,
+    )
+    plan = _PLAN_CACHE.get(key)
+    if plan is None:
+        plan = _FKPlan(model)
+        _PLAN_CACHE[key] = plan
+    return plan
+
+
+def _gb(arr: jax.Array, idx: np.ndarray) -> jax.Array:
+    """Gather model parameters on the body/geom axis, tolerating an optional
     leading env batch axis (heterogeneous per-env parameters)."""
     return arr[..., idx, :] if arr.ndim >= 2 else arr[..., idx]
 
 
-def _bget_scalar(arr: jax.Array, idx: int) -> jax.Array:
-    return arr[..., idx]
+def _bget(arr: jax.Array, idx: int) -> jax.Array:
+    return arr[..., idx, :] if arr.ndim >= 2 else arr[..., idx]
 
 
 def forward_kinematics(model: Model, data: Data) -> Data:
     """qpos -> world body poses (xpos, xquat) and velocities (cvel)."""
     B = data.batch_size
     qpos, qvel = data.qpos, data.qvel
+    nb = model.nbody
+    plan = fk_plan(model)
 
-    xpos = [jnp.zeros((B, 3), jnp.float32)]
-    xquat = [jnp.broadcast_to(jnp.array([1.0, 0, 0, 0], jnp.float32), (B, 4))]
-    cvel = [jnp.zeros((B, 6), jnp.float32)]
+    xpos = jnp.zeros((B, nb, 3), jnp.float32)
+    xquat = jnp.zeros((B, nb, 4), jnp.float32).at[..., 0].set(1.0)
+    cvel = jnp.zeros((B, nb, 6), jnp.float32)
 
-    for b in range(1, model.nbody):
-        p = int(model.body_parent[b])
-        jt = int(model.body_jnt_type[b])
-        qa = int(model.body_q_adr[b])
-        va = int(model.body_dof_adr[b])
+    if len(plan.free):
+        qp = qpos[:, plan.free_q_idx]  # (B, F, 7)
+        vv = qvel[:, plan.free_v_idx]  # (B, F, 6)
+        xpos = xpos.at[:, plan.free].set(qp[..., :3])
+        xquat = xquat.at[:, plan.free].set(qp[..., 3:7])
+        cvel = cvel.at[:, plan.free].set(vv)
 
-        if jt == FREE:
-            pos = qpos[:, qa : qa + 3]
-            quat = qpos[:, qa + 3 : qa + 7]
-            v = qvel[:, va : va + 3]
-            w = qvel[:, va + 3 : va + 6]
-            xpos.append(pos)
-            xquat.append(quat)
-            cvel.append(jnp.concatenate([v, w], axis=-1))
-            continue
-
-        pp, pq = xpos[p], xquat[p]
-        jpos = jnp.broadcast_to(_bget(model.body_pos, b), (B, 3))
-        jquat = jnp.broadcast_to(_bget(model.body_quat, b), (B, 4))
-        # joint frame in world
+    for lv in plan.levels:
+        bl, pl = lv["bodies"], lv["parents"]
+        pp = xpos[:, pl]  # (B, L, 3)
+        pq = xquat[:, pl]  # (B, L, 4)
+        jpos = jnp.broadcast_to(_gb(model.body_pos, bl), pp.shape)
+        jquat = jnp.broadcast_to(_gb(model.body_quat, bl), pq.shape)
         fp = pp + rc.quaternion_apply(pq, jpos)
         fq = rc.quaternion_multiply(pq, jquat)
-        r = fp - pp
-        vw_p = cvel[p][:, :3]
-        om_p = cvel[p][:, 3:]
-        v = vw_p + jnp.cross(om_p, r)
+        vw_p = cvel[:, pl, :3]
+        om_p = cvel[:, pl, 3:]
+        v = vw_p + jnp.cross(om_p, fp - pp)
         w = om_p
 
-        if jt == FIXED:
-            xpos.append(fp)
-            xquat.append(fq)
-            cvel.append(jnp.concatenate([v, w], axis=-1))
-            continue
-
-        q = qpos[:, qa : qa + 1]
-        qd = qvel[:, va : va + 1]
-        axis_l = jnp.broadcast_to(_bget(model.jnt_axis, b), (B, 3))
+        q = qpos[:, lv["q_idx"]] * jnp.asarray(lv["has_q"], jnp.float32)  # (B, L)
+        qd = qvel[:, lv["v_idx"]] * jnp.asarray(lv["has_q"], jnp.float32)
+        axis_l = jnp.broadcast_to(_gb(model.jnt_axis, bl), pp.shape)
         axis_w = rc.quaternion_apply(fq, axis_l)
-        if jt == HINGE:
-            jq = rc.axis_angle_to_quaternion(axis_l * q)
-            xquat.append(rc.quaternion_multiply(fq, jq))
-            xpos.append(fp)
-            w = w + axis_w * qd
-            cvel.append(jnp.concatenate([v, w], axis=-1))
-        elif jt == SLIDE:
-            xquat.append(fq)
-            xpos.append(fp + axis_w * q)
-            v = v + jnp.cross(om_p, axis_w * q) + axis_w * qd
-            cvel.append(jnp.concatenate([v, w], axis=-1))
-        else:
-            raise ValueError(f"unknown joint type {jt}")
 
-    return data.replace(
-        xpos=jnp.stack(xpos, axis=1),
-        xquat=jnp.stack(xquat, axis=1),
-        cvel=jnp.stack(cvel, axis=1),
-    )
+        hinge = jnp.asarray(lv["is_hinge"])[None, :, None]
+        slide = jnp.asarray(lv["is_slide"])[None, :, None]
+
+        jq = rc.axis_angle_to_quaternion(axis_l * q[..., None])
+        xq = jnp.where(hinge, rc.quaternion_multiply(fq, jq), fq)
+        xp = jnp.where(slide, fp + axis_w * q[..., None], fp)
+        w = jnp.where(hinge, w + axis_w * qd[..., None], w)
+        v = jnp.where(
+            slide,
+            v + jnp.cross(om_p, axis_w * q[..., None]) + axis_w * qd[..., None],
+            v,
+        )
+
+        xpos = xpos.at[:, bl].set(xp)
+        xquat = xquat.at[:, bl].set(xq)
+        cvel = cvel.at[:, bl].set(jnp.concatenate([v, w], axis=-1))
+
+    return data.replace(xpos=xpos, xquat=xquat, cvel=cvel)
 
 
 def dof_frames(model: Model, data: Data) -> Tuple[jax.Array, jax.Array]:
-    """Per-dof world axis and anchor point.
+    """Per-dof world axis and anchor point — one batched gather, no loops.
 
     Returns (dof_axis (B, nv, 3), dof_anchor (B, nv, 3)). Rotational dofs
     rotate about (axis, anchor); translational dofs translate along axis.
     For FREE joints: 3 translational world-axis dofs + 3 rotational dofs
     anchored at the body origin.
     """
-    B = data.batch_size
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B, 3, 3))
-    axes = [None] * model.nv
-    anchors = [None] * model.nv
-    for b in range(1, model.nbody):
-        jt = int(model.body_jnt_type[b])
-        va = int(model.body_dof_adr[b])
-        if jt == FIXED:
-            continue
-        if jt == FREE:
-            origin = data.xpos[:, b]
-            for i in range(3):
-                axes[va + i] = eye[:, i]
-                anchors[va + i] = origin
-            for i in range(3):
-                axes[va + 3 + i] = eye[:, i]
-                anchors[va + 3 + i] = origin
-        else:
-            axis_l = jnp.broadcast_to(_bget(model.jnt_axis, b), (B, 3))
-            axes[va] = rc.quaternion_apply(data.xquat[:, b], axis_l)
-            anchors[va] = data.xpos[:, b]
-    dof_axis = jnp.stack(axes, axis=1)
-    dof_anchor = jnp.stack(anchors, axis=1)
-    return dof_axis, dof_anchor
+    plan = fk_plan(model)
+    db = plan.dof_body
+    anchor = data.xpos[:, db]  # (B, nv, 3)
+    axis_l = _gb(model.jnt_axis, db)  # (nv, 3) or (B, nv, 3)
+    axis_l = jnp.broadcast_to(axis_l, anchor.shape)
+    axis_w = rc.quaternion_apply(data.xquat[:, db], axis_l)
+    free = jnp.asarray(plan.is_free_dof)[None, :, None]
+    axis = jnp.where(free, jnp.asarray(plan.const_axis)[None], axis_w)
+    return axis, anchor
 
 
 def point_jacobian(

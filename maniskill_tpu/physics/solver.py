@@ -244,10 +244,14 @@ def solve(
     if prev_imp is not None and C > 0:
         lam_c0 = jnp.einsum("bcik,bck->bci", basis, prev_imp).reshape(B, C * 3)
         lam0 = jnp.concatenate([lam_c0, jnp.zeros((B, L), jnp.float32)], axis=1)
-        lam0 = project(lam0)
+        # inactive rows have inv_diag == 0 and would carry a frozen (phantom)
+        # warm-start impulse through the iteration and back into reporting;
+        # mask them out up front.
+        lam0 = project(lam0) * arow
     else:
         lam0 = jnp.zeros((B, R), jnp.float32)
     lam = jax.lax.fori_loop(0, model.solver_iterations, body, lam0)
+    lam = lam * arow  # deactivated rows report zero impulse
 
     qvel_new = qvel_pred + jnp.einsum("bvr,br->bv", W, lam)
 

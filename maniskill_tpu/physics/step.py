@@ -53,19 +53,21 @@ def step(model: Model, data: Data) -> Data:
 
 
 def integrate_qpos(model: Model, qpos: jax.Array, qvel: jax.Array, h: float) -> jax.Array:
-    """Semi-implicit Euler position update (exact quaternion exp for rotations)."""
+    """Semi-implicit Euler position update (exact quaternion exp for rotations).
+
+    Fully vectorized: one gather/scatter for all 1-dof joints, one batched
+    quaternion integration for all FREE bodies.
+    """
+    from .kinematics import fk_plan
+
+    plan = fk_plan(model)
     out = qpos
-    for b in range(model.nbody):
-        jt = int(model.body_jnt_type[b])
-        qa = int(model.body_q_adr[b])
-        va = int(model.body_dof_adr[b])
-        if jt == FREE:
-            p = qpos[:, qa : qa + 3] + h * qvel[:, va : va + 3]
-            q = rc.integrate_quaternion(
-                qpos[:, qa + 3 : qa + 7], qvel[:, va + 3 : va + 6], h
-            )
-            out = out.at[:, qa : qa + 3].set(p)
-            out = out.at[:, qa + 3 : qa + 7].set(q)
-        elif jt in (HINGE, SLIDE):
-            out = out.at[:, qa].set(qpos[:, qa] + h * qvel[:, va])
+    if len(plan.one_q):
+        out = out.at[:, plan.one_q].add(h * qvel[:, plan.one_v])
+    if len(plan.free):
+        qp = qpos[:, plan.free_q_idx]  # (B, F, 7)
+        vv = qvel[:, plan.free_v_idx]  # (B, F, 6)
+        p = qp[..., :3] + h * vv[..., :3]
+        q = rc.integrate_quaternion(qp[..., 3:7], vv[..., 3:6], h)
+        out = out.at[:, plan.free_q_idx].set(jnp.concatenate([p, q], axis=-1))
     return out

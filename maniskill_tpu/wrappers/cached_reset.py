@@ -1,9 +1,10 @@
 """CachedResetWrapper (counterpart of
 mani_skill/utils/wrappers/cached_reset.py:23-154): precomputes a pool of reset
-states and restores them via ``reset_to_env_states`` for fast resets."""
+states and restores random samples from it via ``reset_to_env_states`` for
+fast resets with preserved initial-state diversity."""
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Optional
 
 import gymnasium as gym
 import jax
@@ -20,26 +21,38 @@ class CachedResetWrapper(gym.Wrapper):
         self.num_envs = base.num_envs
         self.num_resets = num_resets or base.num_envs
         self._seed = seed
-        self._cache = None
-        self._obs_cache = None
+        self._pool = None
         self._rng = np.random.RandomState(seed)
         self._build_cache()
 
     def _build_cache(self):
-        obs, _ = self.env.reset(seed=self._seed)
+        """Build a pool of ``num_resets`` initial states by running as many
+        full resets as needed (each with a distinct seed) and concatenating
+        their state dicts along the env axis."""
         base = self.env.unwrapped
-        self._cache = common.to_numpy(base.get_state_dict())
-        self._obs_cache = common.to_numpy(obs)
+        chunks = []
+        n_have = 0
+        i = 0
+        while n_have < self.num_resets:
+            self.env.reset(seed=self._seed + i)
+            chunks.append(common.to_numpy(base.get_state_dict()))
+            n_have += self.num_envs
+            i += 1
+        pool = jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs, axis=0)[: self.num_resets], *chunks
+        )
+        self._pool = pool
+
+    def _sample_states(self):
+        idx = self._rng.randint(0, self.num_resets, size=self.num_envs)
+        return jax.tree_util.tree_map(lambda x: jnp.asarray(x[idx]), self._pool)
 
     def reset(self, *, seed=None, options=None):
         options = dict(options or {})
         if seed is not None or options.get("reconfigure", False):
             obs, info = self.env.reset(seed=seed, options=options)
-            base = self.env.unwrapped
-            self._cache = common.to_numpy(base.get_state_dict())
+            self._seed = seed if seed is not None else self._seed
+            self._build_cache()
             return obs, info
-        # sample cached states (here: identity permutation of the pooled batch)
-        options["reset_to_env_states"] = jax.tree_util.tree_map(
-            jnp.asarray, self._cache
-        )
+        options["reset_to_env_states"] = self._sample_states()
         return self.env.reset(options=options)
