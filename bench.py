@@ -15,7 +15,8 @@ import numpy as np
 
 
 def main():
-    num_envs = int(os.environ.get("BENCH_NUM_ENVS", "1024"))
+    # default matches the baseline row's config (BASELINE.md: FrankaMove @4096)
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", "4096"))
     steps = int(os.environ.get("BENCH_STEPS", "100"))
 
     import jax

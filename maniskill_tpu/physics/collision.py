@@ -319,15 +319,25 @@ def contacts_per_pair(t1: int, t2: int) -> int:
     return fn_points.get((t1, t2), 0)
 
 
-def collide(model: Model, data: Data) -> Contact:
+def collide(model: Model, data: Data, kin=None) -> Contact:
     """Run narrowphase for all candidate pairs -> static-shape Contact set.
 
     Pairs are grouped by (type1, type2) and each group is evaluated in ONE
     vectorized call over a gathered (B, P, ...) pair axis — compile-time and
     runtime scale with the number of type combos, not the number of pairs.
+
+    ``kin`` is the component-form kinematics tuple (see cf.py); when given,
+    geom poses derive from it instead of from (possibly stale) data.xpos.
     """
     B = data.batch_size
-    gpos, gquat = geom_poses(model, data)
+    if kin is not None:
+        from . import cf
+        from .kinematics import geom_poses_cf
+
+        gp_c, gq_c = geom_poses_cf(model, kin[0], kin[1])
+        gpos, gquat = cf.fb(gp_c), cf.fb(gq_c)
+    else:
+        gpos, gquat = geom_poses(model, data)
     size = model.geom_size
     if size.ndim == 2:
         size = jnp.broadcast_to(size, (B,) + size.shape)

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.geometry import rotation_conversions as rc
+from . import cf
 from .types import FIXED, FREE, HINGE, SLIDE, Data, Model
 from .kinematics import body_com, body_jacobians, dof_frames
 
@@ -84,14 +85,210 @@ def world_inertia(model: Model, data: Data) -> jax.Array:
     return jnp.einsum("...ij,...j,...kj->...ik", R, diag, R)
 
 
-def mass_matrix_and_bias(
-    model: Model, data: Data
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Returns (M (B,nv,nv), qfrc_bias (B,nv), jac_lin, jac_rot).
+def _symv(S6: jax.Array, v: jax.Array) -> jax.Array:
+    """Symmetric 3x3 matvec from packed [xx,yy,zz,xy,xz,yz] components."""
+    xx, yy, zz, xy, xz, yz = (S6[..., i] for i in range(6))
+    vx, vy, vz = v[..., 0], v[..., 1], v[..., 2]
+    return jnp.stack(
+        [
+            xx * vx + xy * vy + xz * vz,
+            xy * vx + yy * vy + yz * vz,
+            xz * vx + yz * vy + zz * vz,
+        ],
+        axis=-1,
+    )
 
-    qfrc_bias includes gravity and velocity-product terms; equations of motion
-    are M qacc = tau - qfrc_bias.
+
+_CRB_CACHE: dict = {}
+
+
+def _crb_masks(model: Model):
+    """Static (nv, nv) lower/strict masks: DL[d,e]=1 iff dof d lies on the
+    chain from world to body(e) and e >= d (dof order = depth order)."""
+    key = (model.ancestor_mask, model.dof_body)
+    out = _CRB_CACHE.get(key)
+    if out is None:
+        anc = np.asarray(model.ancestor_mask)  # (nb, nv)
+        db = np.asarray(model.dof_body)
+        on_chain = anc[db, :].T  # (nv_d, nv_e): d on chain of body(e)
+        order = np.arange(model.nv)
+        # cache numpy (NOT jnp: inside a trace jnp constants are tracers and
+        # would leak out of the trace via this module-level cache)
+        dl = (on_chain * (order[None, :] >= order[:, None])).astype(np.float32)
+        dls = (on_chain * (order[None, :] > order[:, None])).astype(np.float32)
+        out = (dl, dls)
+        _CRB_CACHE[key] = out
+    return out
+
+
+def mass_matrix_and_bias_cf(
+    model: Model, data: Data, kin
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (M (B,nv,nv), qfrc_bias (B,nv)), computed batch-last.
+
+    Composite-rigid-body via subtree *moments*: instead of materializing
+    (B, nbody, nv, 3) COM jacobians and contracting them (the HBM-traffic
+    hot spot), accumulate per-body moments [m, m c, m|c|^2, m c c^T, I_w,
+    f, c x f + tau] over each dof's subtree with ONE einsum against the
+    static ancestor mask, then assemble M[d,e] = A_d . X_e + H_d . Y_e from
+    per-dof 3-vectors. All field intermediates are component-first (k, n, B)
+    so the env batch rides the 128-lane axis (see cf.py). Equations of
+    motion: M qacc = tau - qfrc_bias.
+
+    Derivation: for dofs d (shallower) and e on one chain, with subtree
+    S = subtree(body(e)), axis a, anchor p, h = a x p:
+      rot-rot:  sum_S m (a_d x (c - p_d)) . (a_e x (c - p_e)) + a_d^T I^c a_e
+              = a_d.[trS a_e - S2 a_e - mc x h_e + I^c a_e] + h_d.[mC h_e - a_e x mc]
+      rot-trn:  a_d.(mc x a_e) - mC h_d.a_e
+      trn-rot:  a_d.(a_e x mc - mC h_e)
+      trn-trn:  mC a_d.a_e
+    which all fold into one (B,nv,6)x(B,nv,6) -> (B,nv,nv) contraction.
     """
+    from .kinematics import _cfp, dof_frames_cf, fk_plan
+
+    xpos_c, xquat_c, v_c, w_c = kin
+    B = data.batch_size
+    nb, nv = model.nbody, model.nv
+    plan = fk_plan(model)
+    all_b = np.arange(nb)
+
+    dyn = jnp.asarray(model.body_type == 0, jnp.float32)[:, None]  # (nb, 1)
+    mass = (
+        model.body_mass.T if model.body_mass.ndim == 2 else model.body_mass[:, None]
+    )  # (nb, B|1)
+    m = mass * dyn
+
+    # world COM (3, nb, B)
+    ipos = jnp.broadcast_to(_cfp(model.body_ipos, all_b), xpos_c.shape)
+    com = xpos_c + cf.qapply_c(xquat_c, ipos)
+
+    # world inertia symmetric components (6, nb, B), masked by dyn
+    iquat = jnp.broadcast_to(_cfp(model.body_iquat, all_b), xquat_c.shape)
+    qI = cf.qmul_c(xquat_c, iquat)
+    R = cf.quat_to_mat_c(qI)  # 3x3 nest of (nb, B)
+    idiag = _cfp(model.body_inertia, all_b)  # (3, nb, 1|B)
+    d0, d1, d2 = idiag[0], idiag[1], idiag[2]
+
+    def iw(i, j):
+        return (R[i][0] * d0 * R[j][0] + R[i][1] * d1 * R[j][1] + R[i][2] * d2 * R[j][2]) * dyn
+
+    J2 = jnp.stack([iw(0, 0), iw(1, 1), iw(2, 2), iw(0, 1), iw(0, 2), iw(1, 2)], 0)
+
+    # ---- velocity-product (bias) accelerations, level-scheduled ----
+    qv = data.qvel.T  # (nv, B)
+    a0 = jnp.zeros((3, nb, B), jnp.float32)
+    al0 = jnp.zeros((3, nb, B), jnp.float32)
+    for lv in plan.levels:
+        bl, pl = lv["bodies"], lv["parents"]
+        r = xpos_c[:, bl] - xpos_c[:, pl]
+        om_p = w_c[:, pl]
+        v_rel = v_c[:, bl] - v_c[:, pl]
+        a_b = a0[:, pl] + cf.cross_c(al0[:, pl], r) + cf.cross_c(om_p, v_rel)
+        al_b = al0[:, pl]
+        has_q = jnp.asarray(lv["has_q"], jnp.float32)[:, None]
+        qd = (qv[lv["v_idx"]] * has_q)[None]  # (1, L, B)
+        axis_l = jnp.broadcast_to(_cfp(model.jnt_axis, bl), r.shape)
+        axis_w = cf.qapply_c(xquat_c[:, bl], axis_l)
+        cor = cf.cross_c(om_p, axis_w * qd)
+        hinge = jnp.asarray(lv["is_hinge"])[None, :, None]
+        slide = jnp.asarray(lv["is_slide"])[None, :, None]
+        al_b = jnp.where(hinge, al_b + cor, al_b)
+        a_b = jnp.where(slide, a_b + cor, a_b)
+        a0 = a0.at[:, bl].set(a_b)
+        al0 = al0.at[:, bl].set(al_b)
+
+    rc_ = com - xpos_c
+    om = w_c
+    a_com = a0 + cf.cross_c(al0, rc_) + cf.cross_c(om, cf.cross_c(om, rc_))
+
+    # per-body gravity compensation (the reference's balance_passive_force on
+    # GPU disables link gravity, base_agent.py:278-284; here it's a mask)
+    gc = model.body_gravcomp
+    gc = gc.T if gc.ndim == 2 else gc[:, None]  # (nb, B|1)
+    g = model.gravity[:, None, None] * (1.0 - gc)[None]  # (3, nb, B|1)
+    # net bias force/torque per body, folding in externally applied wrenches
+    # (world frame, force at COM) so no separate jacobian pass is needed
+    xf = cf.bf(data.xfrc_applied)  # (6, nb, B)
+    f = m[None] * (a_com - g) - xf[:3] * dyn[None]
+    Iw_om = _symv_c(J2, om)
+    tau_b = _symv_c(J2, al0) + cf.cross_c(om, Iw_om) - xf[3:] * dyn[None]
+    T = cf.cross_c(com, f) + tau_b
+
+    # packed per-body payload -> per-dof subtree composites in one einsum
+    mb = jnp.broadcast_to(m, (nb, B))
+    mc = m[None] * com  # (3, nb, B)
+    mcc = cf.dot_c(mc, com)  # (nb, B)
+    S2 = jnp.stack(
+        [
+            mc[0] * com[0], mc[1] * com[1], mc[2] * com[2],
+            mc[0] * com[1], mc[0] * com[2], mc[1] * com[2],
+        ],
+        axis=0,
+    )
+    payload = jnp.concatenate(
+        [mb[None], mc, mcc[None], S2, J2, f, T], axis=0
+    )  # (23, nb, B)
+    anc = jnp.asarray(model.ancestor_mask, jnp.float32)  # (nb, nv)
+    comp = jnp.einsum("nv,knb->kvb", anc, payload)  # (23, nv, B)
+    mC = comp[0]  # (nv, B)
+    mc_c = comp[1:4]
+    trS = comp[4]
+    S2_c = comp[5:11]
+    J2_c = comp[11:17]
+    Fc = comp[17:20]
+    Tc = comp[20:23]
+
+    # per-dof geometry (3, nv, B)
+    a_d, anchor_d = dof_frames_cf(model, xpos_c, xquat_c)
+    h = cf.cross_c(a_d, anchor_d)
+    ir = jnp.asarray(model.dof_is_rot, jnp.float32)[None, :, None]  # (1, nv, 1)
+
+    u1 = _symv_c(S2_c, a_d)
+    u2 = cf.cross_c(a_d, mc_c)
+    u3 = _symv_c(J2_c, a_d)
+    w = cf.cross_c(mc_c, h)
+    X = ir * (trS[None] * a_d - u1 - w + u3) + (1.0 - ir) * (-u2)
+    Y = ir * (-u2 + mC[None] * h) + (1.0 - ir) * (-mC[None] * a_d)
+    L6 = jnp.concatenate([a_d * ir, h * ir - a_d * (1.0 - ir)], axis=0)  # (6, nv, B)
+    R6 = jnp.concatenate([X, Y], axis=0)
+    M_low = jnp.einsum("kdb,keb->bde", L6, R6)
+    DL, DLs = _crb_masks(model)
+    M = M_low * jnp.asarray(DL) + jnp.swapaxes(M_low * jnp.asarray(DLs), 1, 2)
+
+    irf = jnp.asarray(model.dof_is_rot, jnp.float32)[:, None]  # (nv, 1)
+    qfrc_bias = irf * (cf.dot_c(a_d, Tc) - cf.dot_c(h, Fc)) + (
+        1.0 - irf
+    ) * cf.dot_c(a_d, Fc)
+    return M, qfrc_bias.T
+
+
+def _symv_c(S6: jax.Array, v: jax.Array) -> jax.Array:
+    """Symmetric matvec, component-first: S6 (6, ..., B), v (3, ..., B)."""
+    xx, yy, zz, xy, xz, yz = S6[0], S6[1], S6[2], S6[3], S6[4], S6[5]
+    return jnp.stack(
+        [
+            xx * v[0] + xy * v[1] + xz * v[2],
+            xy * v[0] + yy * v[1] + yz * v[2],
+            xz * v[0] + yz * v[1] + zz * v[2],
+        ],
+        axis=0,
+    )
+
+
+def mass_matrix_and_bias(model: Model, data: Data) -> Tuple[jax.Array, jax.Array]:
+    """Batch-first convenience wrapper: recomputes component-form kinematics
+    from data.qpos/qvel and delegates to mass_matrix_and_bias_cf."""
+    from .kinematics import forward_kinematics_cf
+
+    kin = forward_kinematics_cf(model, data.qpos, data.qvel)
+    return mass_matrix_and_bias_cf(model, data, kin)
+
+
+def mass_matrix_and_bias_dense(
+    model: Model, data: Data
+) -> Tuple[jax.Array, jax.Array]:
+    """Reference implementation via dense COM jacobians (slow; used by tests
+    to cross-check the moment-based CRB path). Ignores xfrc_applied."""
     B = data.batch_size
     nb, nv = model.nbody, model.nv
     dof_axis, dof_anchor = dof_frames(model, data)
@@ -103,23 +300,20 @@ def mass_matrix_and_bias(
     M = jnp.einsum("bndi,bn,bnei->bde", jac_lin, mass, jac_lin)
     M = M + jnp.einsum("bndi,bnij,bnej->bde", jac_rot, Iw, jac_rot)
 
-    # bias accelerations at body origins -> at COMs
     a0, al0 = bias_accelerations(model, data)
     com = body_com(model, data)
     rc_ = com - data.xpos
     om = data.cvel[:, :, 3:]
     a_com = a0 + jnp.cross(al0, rc_) + jnp.cross(om, jnp.cross(om, rc_))
-    # per-body gravity compensation (the reference's balance_passive_force on
-    # GPU disables link gravity, base_agent.py:278-284; here it's a mask)
-    gc = model.body_gravcomp  # (nb,) or (B, nb)
-    g = model.gravity * (1.0 - gc)[..., None]  # (nb, 3) / (B, nb, 3)
-    f_lin = mass[..., None] * (a_com - g)  # (B, nb, 3)
+    gc = model.body_gravcomp
+    g = model.gravity * (1.0 - gc)[..., None]
+    f_lin = mass[..., None] * (a_com - g)
     Iw_om = jnp.einsum("bnij,bnj->bni", Iw, om)
     f_rot = jnp.einsum("bnij,bnj->bni", Iw, al0) + jnp.cross(om, Iw_om)
     qfrc_bias = jnp.einsum("bndi,bni->bd", jac_lin, f_lin) + jnp.einsum(
         "bndi,bni->bd", jac_rot, f_rot
     )
-    return M, qfrc_bias, jac_lin, jac_rot
+    return M, qfrc_bias
 
 
 def actuation(model: Model, data: Data) -> jax.Array:
@@ -145,17 +339,21 @@ def joint_positions(model: Model, data: Data) -> jax.Array:
     return data.qpos[:, plan.q_of_dof] * jnp.asarray(plan.q_mask)
 
 
-def smooth_dynamics(model: Model, data: Data):
+def smooth_dynamics(model: Model, data: Data, kin=None):
     """Compute the inverse LHS and the unconstrained velocity prediction.
 
-    Returns (Minv (B,nv,nv) inverse of M_imp, qvel_pred (B,nv), qacc, jac_lin, jac_rot).
+    Returns (Minv (B,nv,nv) inverse of M_imp, qvel_pred (B,nv), qacc).
+    External body wrenches (xfrc_applied) are folded into the CRB bias pass.
+    ``kin`` is the component-form kinematics tuple from
+    ``forward_kinematics_cf`` (recomputed from data if omitted).
     """
+    from .kinematics import forward_kinematics_cf
+
     h = model.timestep
-    M, qfrc_bias, jac_lin, jac_rot = mass_matrix_and_bias(model, data)
+    if kin is None:
+        kin = forward_kinematics_cf(model, data.qpos, data.qvel)
+    M, qfrc_bias = mass_matrix_and_bias_cf(model, data, kin)
     tau = actuation(model, data) + data.qf_applied
-    # external body wrenches -> generalized forces
-    tau = tau + jnp.einsum("bndi,bni->bd", jac_lin, data.xfrc_applied[:, :, :3])
-    tau = tau + jnp.einsum("bndi,bni->bd", jac_rot, data.xfrc_applied[:, :, 3:])
 
     # passive joint springs (MJCF joint stiffness): explicit force +
     # implicit h^2*k on the diagonal for stability
@@ -181,7 +379,7 @@ def smooth_dynamics(model: Model, data: Data):
     qacc = jnp.einsum("bij,bj->bi", Minv, rhs)
     qacc = qacc * (1.0 - kin_mask)
     qvel_pred = data.qvel + h * qacc
-    return Minv, qvel_pred, qacc, jac_lin, jac_rot
+    return Minv, qvel_pred, qacc
 
 
 def _diag_embed(d: jax.Array) -> jax.Array:

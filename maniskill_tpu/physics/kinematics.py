@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.geometry import rotation_conversions as rc
+from . import cf
 from .types import BOX, FIXED, FREE, HINGE, SLIDE, Data, Model
 
 _PLAN_CACHE: dict = {}
@@ -121,60 +122,106 @@ def _bget(arr: jax.Array, idx: int) -> jax.Array:
     return arr[..., idx, :] if arr.ndim >= 2 else arr[..., idx]
 
 
-def forward_kinematics(model: Model, data: Data) -> Data:
-    """qpos -> world body poses (xpos, xquat) and velocities (cvel)."""
-    B = data.batch_size
-    qpos, qvel = data.qpos, data.qvel
+# ======================================================================
+# component-form (batch-last) kinematics — the hot path (see cf.py)
+# ======================================================================
+
+def _cfp(arr: jax.Array, idx: np.ndarray) -> jax.Array:
+    """Model vector param -> component-first slice (k, L, 1|B).
+
+    (n, k) static params give (k, L, 1) (broadcast over batch);
+    (B, n, k) heterogeneous params give (k, L, B).
+    """
+    if arr.ndim == 2:
+        return arr.T[:, idx][..., None]
+    return cf.bf(arr)[:, idx]
+
+
+def forward_kinematics_cf(model: Model, qpos: jax.Array, qvel: jax.Array):
+    """qpos (B, nq), qvel (B, nv) -> (xpos (3,nb,B), xquat (4,nb,B),
+    v (3,nb,B), w (3,nb,B)) in world frame, batch-last.
+
+    The four state fields ride ONE packed (13, nb, B) array through the
+    level loop so each level costs a single gather + a single scatter."""
+    B = qpos.shape[0]
     nb = model.nbody
     plan = fk_plan(model)
+    qp = qpos.T  # (nq, B)
+    qv = qvel.T  # (nv, B)
 
-    xpos = jnp.zeros((B, nb, 3), jnp.float32)
-    xquat = jnp.zeros((B, nb, 4), jnp.float32).at[..., 0].set(1.0)
-    cvel = jnp.zeros((B, nb, 6), jnp.float32)
+    # rows: 0:3 xpos, 3:7 xquat, 7:10 v, 10:13 w
+    st = jnp.zeros((13, nb, B), jnp.float32).at[3].set(1.0)
 
     if len(plan.free):
-        qp = qpos[:, plan.free_q_idx]  # (B, F, 7)
-        vv = qvel[:, plan.free_v_idx]  # (B, F, 6)
-        xpos = xpos.at[:, plan.free].set(qp[..., :3])
-        xquat = xquat.at[:, plan.free].set(qp[..., 3:7])
-        cvel = cvel.at[:, plan.free].set(vv)
+        qf = jnp.swapaxes(qp[plan.free_q_idx], 0, 1)  # (7, F, B)
+        vf = jnp.swapaxes(qv[plan.free_v_idx], 0, 1)  # (6, F, B)
+        st = st.at[:, plan.free].set(jnp.concatenate([qf, vf], axis=0))
 
     for lv in plan.levels:
         bl, pl = lv["bodies"], lv["parents"]
-        pp = xpos[:, pl]  # (B, L, 3)
-        pq = xquat[:, pl]  # (B, L, 4)
-        jpos = jnp.broadcast_to(_gb(model.body_pos, bl), pp.shape)
-        jquat = jnp.broadcast_to(_gb(model.body_quat, bl), pq.shape)
-        fp = pp + rc.quaternion_apply(pq, jpos)
-        fq = rc.quaternion_multiply(pq, jquat)
-        vw_p = cvel[:, pl, :3]
-        om_p = cvel[:, pl, 3:]
-        v = vw_p + jnp.cross(om_p, fp - pp)
-        w = om_p
+        par = st[:, pl]  # (13, L, B)
+        pp, pq, vp, om_p = par[0:3], par[3:7], par[7:10], par[10:13]
+        jpos = _cfp(model.body_pos, bl)
+        jquat = _cfp(model.body_quat, bl)
+        fp = pp + cf.qapply_c(pq, jnp.broadcast_to(jpos, pp.shape))
+        fq = cf.qmul_c(pq, jnp.broadcast_to(jquat, pq.shape))
+        vv = vp + cf.cross_c(om_p, fp - pp)
 
-        q = qpos[:, lv["q_idx"]] * jnp.asarray(lv["has_q"], jnp.float32)  # (B, L)
-        qd = qvel[:, lv["v_idx"]] * jnp.asarray(lv["has_q"], jnp.float32)
-        axis_l = jnp.broadcast_to(_gb(model.jnt_axis, bl), pp.shape)
-        axis_w = rc.quaternion_apply(fq, axis_l)
+        has_q = jnp.asarray(lv["has_q"], jnp.float32)[:, None]  # (L, 1)
+        q = qp[lv["q_idx"]] * has_q  # (L, B)
+        qd = qv[lv["v_idx"]] * has_q
+        axis_l = jnp.broadcast_to(_cfp(model.jnt_axis, bl), fp.shape)
+        axis_w = cf.qapply_c(fq, axis_l)
 
-        hinge = jnp.asarray(lv["is_hinge"])[None, :, None]
+        hinge = jnp.asarray(lv["is_hinge"])[None, :, None]  # (1, L, 1)
         slide = jnp.asarray(lv["is_slide"])[None, :, None]
 
-        jq = rc.axis_angle_to_quaternion(axis_l * q[..., None])
-        xq = jnp.where(hinge, rc.quaternion_multiply(fq, jq), fq)
-        xp = jnp.where(slide, fp + axis_w * q[..., None], fp)
-        w = jnp.where(hinge, w + axis_w * qd[..., None], w)
-        v = jnp.where(
-            slide,
-            v + jnp.cross(om_p, axis_w * q[..., None]) + axis_w * qd[..., None],
-            v,
+        jq = cf.aa_to_quat_c(axis_l * q[None])
+        xq = jnp.where(hinge, cf.qmul_c(fq, jq), fq)
+        xp = jnp.where(slide, fp + axis_w * q[None], fp)
+        ww = jnp.where(hinge, om_p + axis_w * qd[None], om_p)
+        vv = jnp.where(
+            slide, vv + cf.cross_c(om_p, axis_w * q[None]) + axis_w * qd[None], vv
         )
 
-        xpos = xpos.at[:, bl].set(xp)
-        xquat = xquat.at[:, bl].set(xq)
-        cvel = cvel.at[:, bl].set(jnp.concatenate([v, w], axis=-1))
+        st = st.at[:, bl].set(jnp.concatenate([xp, xq, vv, ww], axis=0))
 
-    return data.replace(xpos=xpos, xquat=xquat, cvel=cvel)
+    return st[0:3], st[3:7], st[7:10], st[10:13]
+
+
+def dof_frames_cf(model: Model, xpos_c: jax.Array, xquat_c: jax.Array):
+    """Per-dof world axis/anchor, batch-last: (3, nv, B) each."""
+    plan = fk_plan(model)
+    db = plan.dof_body
+    anchor = xpos_c[:, db]  # (3, nv, B)
+    axis_l = jnp.broadcast_to(_cfp(model.jnt_axis, db), anchor.shape)
+    axis_w = cf.qapply_c(xquat_c[:, db], axis_l)
+    free = jnp.asarray(plan.is_free_dof)[None, :, None]
+    caxis = jnp.asarray(plan.const_axis.T)[:, :, None]  # (3, nv, 1)
+    axis = jnp.where(free, caxis, axis_w)
+    return axis, anchor
+
+
+def geom_poses_cf(model: Model, xpos_c: jax.Array, xquat_c: jax.Array):
+    """World geom poses, batch-last: ((3, ngeom, B), (4, ngeom, B))."""
+    gb = np.asarray(model.geom_body)
+    bp = xpos_c[:, gb]
+    bq = xquat_c[:, gb]
+    gp = jnp.broadcast_to(_cfp(model.geom_pos, np.arange(model.ngeom)), bp.shape)
+    gq = jnp.broadcast_to(_cfp(model.geom_quat, np.arange(model.ngeom)), bq.shape)
+    pos = bp + cf.qapply_c(bq, gp)
+    quat = cf.qmul_c(bq, gq)
+    return pos, quat
+
+
+def forward_kinematics(model: Model, data: Data) -> Data:
+    """qpos -> world body poses (xpos, xquat) and velocities (cvel).
+
+    Thin wrapper over the component-form implementation (batch-first views
+    for the struct layer / task code)."""
+    xpos_c, xquat_c, v_c, w_c = forward_kinematics_cf(model, data.qpos, data.qvel)
+    cvel = jnp.concatenate([cf.fb(v_c), cf.fb(w_c)], axis=-1)
+    return data.replace(xpos=cf.fb(xpos_c), xquat=cf.fb(xquat_c), cvel=cvel)
 
 
 def dof_frames(model: Model, data: Data) -> Tuple[jax.Array, jax.Array]:

@@ -1,11 +1,19 @@
 """Velocity-level contact/limit impulse solver.
 
-Replaces PhysX's TGS solver (SURVEY.md §2.1) with a batched projected-Jacobi
+Replaces PhysX's TGS solver (SURVEY.md §2.1) with a batched projected-gradient
 iteration on the Delassus operator A = J M⁻¹ Jᵀ. Nothing is sequential per
-contact: every iteration is two batched (B, rows, nv) matmuls (MXU-friendly),
-so the whole solve vmaps/shards over the env axis trivially — this is the
+contact: every iteration is two batched (B, nv, R) matvecs (MXU-friendly), so
+the whole solve vmaps/shards over the env axis trivially — this is the
 TPU-native trade: more, cheaper iterations instead of PhysX's serialized
 Gauss-Seidel sweeps.
+
+HBM discipline (the solver is bandwidth-bound, not FLOP-bound):
+- The contact jacobian is assembled directly in (B, nv, R) layout from
+  per-dof 3-vectors and per-row 3-vectors via ONE batched (B,nv,6)x(B,6,R)
+  contraction (scalar-triple-product identity), never materializing the
+  (B, C, nv, 3) per-contact jacobian tensor.
+- The iteration matvecs read bf16 copies of J and W (f32 accumulation on the
+  MXU); the final velocity update uses the f32 operands.
 
 Constraint rows:
 - per contact point: 1 normal row (λ ≥ 0, Baumgarte positional bias) + 2
@@ -22,8 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .types import Contact, Data, Model, FREE, HINGE, SLIDE
-from .dynamics import cho_solve, joint_positions
-from .kinematics import dof_frames, point_jacobian
+from .dynamics import joint_positions
+from .kinematics import dof_frames
 
 
 def _tangent_basis(n: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -43,7 +51,8 @@ def _tangent_basis(n: jax.Array) -> Tuple[jax.Array, jax.Array]:
 def contact_jacobians(model: Model, data: Data, contact: Contact) -> jax.Array:
     """Relative-velocity Jacobian per contact: (B, C, nv, 3).
 
-    v_rel = J^T qvel = v(body2 at p) - v(body1 at p).
+    v_rel = J^T qvel = v(body2 at p) - v(body1 at p). (Dense reference form —
+    the solver itself uses the factored build below.)
     """
     B = data.batch_size
     C = contact.pos.shape[1]
@@ -51,8 +60,6 @@ def contact_jacobians(model: Model, data: Data, contact: Contact) -> jax.Array:
         return jnp.zeros((B, 0, model.nv, 3), jnp.float32)
     dof_axis, dof_anchor = dof_frames(model, data)  # (B, nv, 3)
 
-    # per-dof column at each contact point (independent of which body):
-    # rot dof: axis x (p - anchor); trans dof: axis
     rel = contact.pos[:, :, None, :] - dof_anchor[:, None, :, :]  # (B, C, nv, 3)
     col = jnp.where(
         jnp.asarray(model.dof_is_rot)[None, None, :, None],
@@ -70,32 +77,28 @@ def contact_jacobians(model: Model, data: Data, contact: Contact) -> jax.Array:
 
 
 def limit_rows(model: Model, data: Data):
-    """Unilateral joint-limit rows: (J (B, L, nv), depth (B, L)).
+    """Unilateral joint-limit rows, fully vectorized.
 
-    One row per limited dof; the active side (lower/upper) is chosen
-    branch-free by proximity. J = ±e_d so a positive impulse pushes the dof
-    back into range.
+    Returns (sign (B, L), depth (B, L), lim_dofs (L,) static). Row d's
+    jacobian is sign * e_{lim_dofs[d]}; the active side (lower/upper) is
+    chosen branch-free by proximity. A positive impulse pushes the dof back
+    into range.
     """
-    lim_dofs = np.nonzero(model.dof_limited)[0]
+    lim_dofs = np.nonzero(model.dof_limited)[0].astype(np.int32)
     B = data.batch_size
     L = len(lim_dofs)
     if L == 0:
-        return jnp.zeros((B, 0, model.nv), jnp.float32), jnp.zeros((B, 0), jnp.float32)
-    q = joint_positions(model, data)  # (B, nv)
-    lo = model.dof_limit[..., 0]
-    hi = model.dof_limit[..., 1]
-    rows, depths = [], []
-    for d in lim_dofs:
-        d = int(d)
-        dist_lo = q[:, d] - lo[..., d]
-        dist_hi = hi[..., d] - q[:, d]
-        use_lo = dist_lo < dist_hi
-        sign = jnp.where(use_lo, 1.0, -1.0)
-        depth = -jnp.where(use_lo, dist_lo, dist_hi)  # >0 when violated
-        e = jnp.zeros((B, model.nv), jnp.float32).at[:, d].set(sign)
-        rows.append(e)
-        depths.append(depth)
-    return jnp.stack(rows, axis=1), jnp.stack(depths, axis=1)
+        z = jnp.zeros((B, 0), jnp.float32)
+        return z, z, lim_dofs
+    q = joint_positions(model, data)[:, lim_dofs]  # (B, L)
+    lo = model.dof_limit[..., lim_dofs, 0]
+    hi = model.dof_limit[..., lim_dofs, 1]
+    dist_lo = q - lo
+    dist_hi = hi - q
+    use_lo = dist_lo < dist_hi
+    sign = jnp.where(use_lo, 1.0, -1.0)
+    depth = -jnp.where(use_lo, dist_lo, dist_hi)  # >0 when violated
+    return jnp.broadcast_to(sign, (B, L)), jnp.broadcast_to(depth, (B, L)), lim_dofs
 
 
 def solve(
@@ -104,9 +107,11 @@ def solve(
     Minv: jax.Array,
     qvel_pred: jax.Array,
     contact: Contact,
+    kin=None,
 ) -> Tuple[jax.Array, Contact]:
     """Returns (qvel_new (B, nv), contact with impulses filled)."""
     B = data.batch_size
+    nv = model.nv
     h = model.timestep
     C_full = contact.pos.shape[1]
 
@@ -143,31 +148,64 @@ def solve(
         prev_imp = data.contact.impulse if prev_ok else None
         C = C_full
 
-    # relative-velocity jacobian at the (possibly compacted) contact points
-    dof_axis, dof_anchor = dof_frames(model, data)  # (B, nv, 3)
-    rel = cpos[:, :, None, :] - dof_anchor[:, None, :, :]  # (B, C, nv, 3)
-    col = jnp.where(
-        jnp.asarray(model.dof_is_rot)[None, None, :, None],
-        jnp.cross(jnp.broadcast_to(dof_axis[:, None], rel.shape), rel),
-        jnp.broadcast_to(dof_axis[:, None], rel.shape),
-    )
-    jrel = col * w[..., None]  # (B, C, nv, 3)
-
-    t1, t2 = _tangent_basis(cnormal)
-    basis = jnp.stack([cnormal, t1, t2], axis=2)  # (B, C, 3, 3)
-    # build J directly in (B, nv, R) layout: R (the long axis, ~100s of rows)
-    # rides the TPU lane dimension; nv (~20) stays in sublanes. The iteration
-    # matvecs then read at full lane utilization instead of nv/128.
-    Jc_t = jnp.einsum("bcvk,bcik->bvci", jrel, basis)  # (B, nv, C, 3)
-    Jc_t = Jc_t.reshape(B, model.nv, C * 3)
-
-    Jl, limit_depth = limit_rows(model, data)  # (B, L, nv), (B, L)
-    L = Jl.shape[1]
-    Jt = jnp.concatenate([Jc_t, jnp.swapaxes(Jl, 1, 2)], axis=2)  # (B, nv, R)
+    sl_sign, limit_depth, lim_dofs = limit_rows(model, data)
+    L = len(lim_dofs)
     R = C * 3 + L
-
     if R == 0:
         return qvel_pred, contact
+
+    # --- contact jacobian directly in (B, nv, R) layout -------------------
+    # Row (c,i) has direction e = basis_i(c) at point p_c. For a rotational
+    # dof (axis a, anchor q): J = a.(p x e) - e.(a x q); translational: a.e.
+    # Scalar-triple-product form -> one (B,nv,6)x(B,6,3C) contraction with
+    # left factors premasked by dof type:
+    #   J = [a*ir | a*(1-ir) - h*ir] @ [[p x e],[e]],  h = a x q.
+    if C > 0:
+        t1, t2 = _tangent_basis(cnormal)
+        # U (B, 3, 3C): basis direction components, rows (c,i) flattened
+        # i-fastest to match the (C, 3)->3C reshape used everywhere else
+        def rows3(v):
+            # v (B, C, 3) -> (B, 3, C) component-first
+            return jnp.swapaxes(v, 1, 2)
+
+        # interleave (n, t1, t2) on the row axis: (B, 3k, C, 3i) is avoided;
+        # build (B, 3, C*3) by stacking on a new minor axis then reshaping
+        U = jnp.stack([rows3(cnormal), rows3(t1), rows3(t2)], axis=-1)  # (B,3,C,3)
+        U = U.reshape(B, 3, C * 3)
+        P = jnp.broadcast_to(rows3(cpos)[..., None], (B, 3, C, 3)).reshape(
+            B, 3, C * 3
+        )
+        Mx = jnp.cross(P, U, axis=1)  # p x e per row, (B, 3, 3C)
+
+        if kin is not None:
+            from . import cf
+            from .kinematics import dof_frames_cf
+
+            ax_c, an_c = dof_frames_cf(model, kin[0], kin[1])
+            dof_axis, dof_anchor = cf.fb(ax_c), cf.fb(an_c)
+        else:
+            dof_axis, dof_anchor = dof_frames(model, data)  # (B, nv, 3)
+        hvec = jnp.cross(dof_axis, dof_anchor)
+        ir = jnp.asarray(model.dof_is_rot, jnp.float32)[None, :, None]
+        Lf = jnp.concatenate(
+            [dof_axis * ir, dof_axis * (1.0 - ir) - hvec * ir], axis=-1
+        )  # (B, nv, 6)
+        Rf = jnp.concatenate([Mx, U], axis=1)  # (B, 6, 3C)
+        Jc = jnp.einsum("bvk,bkr->bvr", Lf, Rf)  # (B, nv, 3C)
+        # ancestor/sign mask per (contact, dof), repeated over the 3 rows
+        w_t = jnp.repeat(jnp.swapaxes(jnp.broadcast_to(w, (B, C, nv)), 1, 2), 3, axis=2)
+        Jc = Jc * w_t
+    else:
+        Jc = jnp.zeros((B, nv, 0), jnp.float32)
+
+    # limit rows: J = sign * e_d -> scatter sign into (B, nv, L)
+    if L > 0:
+        Jl_t = jnp.zeros((B, nv, L), jnp.float32).at[
+            :, lim_dofs, jnp.arange(L)
+        ].set(sl_sign)
+        Jt = jnp.concatenate([Jc, Jl_t], axis=2)  # (B, nv, R)
+    else:
+        Jt = Jc
 
     active_c = cdepth > -model.contact_margin  # (B, C)
     arow = jnp.concatenate(
@@ -209,9 +247,20 @@ def solve(
         ll = jnp.clip(lam[:, C * 3 :], 0.0, cap_hi)
         return jnp.concatenate([lc, ll], axis=1)
 
+    # bf16 operands for the iteration matvecs (f32 accumulation on the MXU):
+    # halves the dominant HBM traffic; the projection/clipping stays f32
+    W16 = W.astype(jnp.bfloat16)
+    Jt16 = Jt.astype(jnp.bfloat16)
+
     def matvec(x):
-        dv = jnp.einsum("bvr,br->bv", W, x)
-        return jnp.einsum("bvr,bv->br", Jt, dv)
+        dv = jnp.einsum(
+            "bvr,br->bv", W16, x.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.einsum(
+            "bvr,bv->br", Jt16, dv.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
 
     # Jacobi with D^-1 preconditioning diverges once contact rows couple
     # strongly (stacking, multi-point manifolds): the iteration matrix
@@ -242,6 +291,7 @@ def solve(
     # so the previous step's impulses project straight onto the new basis —
     # the PhysX-style convergence win for persistent contacts.
     if prev_imp is not None and C > 0:
+        basis = jnp.stack([cnormal, t1, t2], axis=2)  # (B, C, 3, 3)
         lam_c0 = jnp.einsum("bcik,bck->bci", basis, prev_imp).reshape(B, C * 3)
         lam0 = jnp.concatenate([lam_c0, jnp.zeros((B, L), jnp.float32)], axis=1)
         # inactive rows have inv_diag == 0 and would carry a frozen (phantom)
@@ -257,6 +307,7 @@ def solve(
 
     if C > 0:
         lam_c = lam[:, : C * 3].reshape(B, C, 3)
+        basis = jnp.stack([cnormal, t1, t2], axis=2)  # (B, C, 3, 3)
         impulse = jnp.einsum("bcik,bci->bck", basis, lam_c)  # world impulse on body2
         if compact:
             full = jnp.zeros((B, C_full, 3), jnp.float32)

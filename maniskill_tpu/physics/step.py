@@ -31,12 +31,21 @@ def forward(model: Model, data: Data) -> Data:
 
 
 def step(model: Model, data: Data) -> Data:
-    """Advance one physics substep (semi-implicit Euler)."""
+    """Advance one physics substep (semi-implicit Euler).
+
+    Kinematics are computed once in component form (batch-last, see cf.py)
+    and shared by dynamics, collision, and the solver. The carried Data's
+    xpos/xquat/cvel are NOT refreshed here (nothing inside the substep reads
+    them; ``_step_impl`` runs a full ``forward_kinematics`` after the substep
+    scan), which keeps them dead in the scan carry.
+    """
+    from .kinematics import forward_kinematics_cf
+
     h = model.timestep
-    data = forward_kinematics(model, data)
-    Minv, qvel_pred, qacc, jac_lin, jac_rot = smooth_dynamics(model, data)
-    contact = collide(model, data)
-    qvel_new, contact = solve(model, data, Minv, qvel_pred, contact)
+    kin = forward_kinematics_cf(model, data.qpos, data.qvel)
+    Minv, qvel_pred, qacc = smooth_dynamics(model, data, kin)
+    contact = collide(model, data, kin)
+    qvel_new, contact = solve(model, data, Minv, qvel_pred, contact, kin)
     # safety rail: bound velocities so one bad solve cannot cascade to inf
     qvel_new = jnp.clip(qvel_new, -model.max_qvel, model.max_qvel)
 

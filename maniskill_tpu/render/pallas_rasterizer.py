@@ -1,25 +1,29 @@
-"""Pallas TPU tiled rasterizer with scanline binning.
+"""Pallas TPU tiled rasterizer with per-band face binning and in-kernel
+flat shading.
 
 The jnp rasterizer tests every face against every pixel (B*F*H*W work); this
-kernel first bins faces into pixel-row bands (XLA sort/gather, <1ms) and then
-each grid cell (env, band) streams only its overlapping faces through the
-VPU from SMEM — the software analog of the GPU's hardware binned rasterizer
-that the reference relies on (render camera groups, SURVEY.md §2.1).
+kernel first bins faces into pixel-row bands (one bounded sort per band) and
+each grid cell (env, band) streams only its overlapping faces — the software
+analog of the GPU's hardware binned rasterizer the reference relies on
+(render camera groups, SURVEY.md §2.1).
 
 Per-face math is reduced to affine evaluations: the vertex stage precomputes
 edge coefficients (sign-premultiplied, validity-folded) and an affine 1/z
 plane, so the inner loop is 4 planes x (a*px + b*py + c) + compares — no
-divides (depth compares happen in 1/z space; the single reciprocal per pixel
-is done by the caller on the final buffer).
+divides (depth compares happen in 1/z space).
 
-Memory layout (driven by Mosaic's tiling rules — VMEM scalar loads must be
-lane-aligned, SMEM 1D blocks carry XLA's T(1024) tiling): one flat record
-array, 16 floats per face [e01.a,b,c, e12.a,b,c, e20.a,b,c, z.a,b,c,
-face_id, pad x3], a 16-float header carrying the face count, 255 face slots
-per (env, band) = 4096-float SMEM blocks. Overflowing faces are dropped.
+Shading happens IN the kernel: each face record carries its pre-shaded flat
+RGB and segmentation id, so the winning face writes color/seg directly into
+the tile — there is no O(H*W*F) gather afterwards (the one-hot-matmul gather
+this replaces dominated the old frame time).
 
-Outputs: inv-depth + face-id tiles; color/segmentation/depth are cheap
-gathers/elementwise done outside.
+Memory layout: the whole per-env face table (F_pad x 16 floats: [e01.a,b,c,
+e12.a,b,c, e20.a,b,c, z.a,b,c, seg, r, g, b]) sits in SMEM and — because the
+grid iterates bands innermost with a constant block index per env — is DMA'd
+once per env, not once per band. Each band additionally gets a small index
+list of its overlapping faces. Overflowing faces (> K per band) are dropped
+AND counted; the count is returned so callers can warn instead of silently
+truncating.
 """
 from __future__ import annotations
 
@@ -34,19 +38,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_H = 16
 LANES = 128
-SLOTS = 256  # 1 header + 255 face records (16 floats each) = 4096 floats
 REC = 16
+MAX_SMEM_FACES = 4096  # per-env face-table cap (4096*16*4B = 256 KB SMEM)
 
 
-def _raster_kernel(c_ref, iz_out, f_out, *, width, n_bands):
-    bt = pl.program_id(0)
-    band = jax.lax.rem(bt, n_bands)
-    row0 = band * TILE_H
+def _raster_kernel(n_ref, idx_ref, tab_ref, iz_out, f_out, r_out, g_out, b_out, *, width, n_bands):
+    bt = pl.program_id(1)
+    row0 = bt * TILE_H
 
-    # tpu.iota only supports integer vectors; cast after
     py = (
         jax.lax.broadcasted_iota(jnp.int32, (TILE_H, width), 0).astype(jnp.float32)
-        + row0.astype(jnp.float32)
+        + jnp.float32(row0)
         + 0.5
     )
     px = (
@@ -54,29 +56,36 @@ def _raster_kernel(c_ref, iz_out, f_out, *, width, n_bands):
         + 0.5
     )
 
-    n = c_ref[0].astype(jnp.int32)
+    n = n_ref[0]
 
     def face_body(j, carry):
-        izbuf, fbuf = carry
-        o = REC * (j + 1)
-        # dynamic scalar reads are legal from SMEM
-        e01 = c_ref[o + 0] * px + c_ref[o + 1] * py + c_ref[o + 2]
-        e12 = c_ref[o + 3] * px + c_ref[o + 4] * py + c_ref[o + 5]
-        e20 = c_ref[o + 6] * px + c_ref[o + 7] * py + c_ref[o + 8]
-        inv_z = c_ref[o + 9] * px + c_ref[o + 10] * py + c_ref[o + 11]
-        fid = c_ref[o + 12].astype(jnp.int32)
+        izbuf, sbuf, rbuf, gbuf, bbuf = carry
+        o = REC * idx_ref[j]
+        e01 = tab_ref[o + 0] * px + tab_ref[o + 1] * py + tab_ref[o + 2]
+        e12 = tab_ref[o + 3] * px + tab_ref[o + 4] * py + tab_ref[o + 5]
+        e20 = tab_ref[o + 6] * px + tab_ref[o + 7] * py + tab_ref[o + 8]
+        inv_z = tab_ref[o + 9] * px + tab_ref[o + 10] * py + tab_ref[o + 11]
 
         inside = (e01 >= 0) & (e12 >= 0) & (e20 >= 0)
         better = inside & (inv_z > izbuf)  # larger 1/z = closer
         izbuf = jnp.where(better, inv_z, izbuf)
-        fbuf = jnp.where(better, fid, fbuf)
-        return izbuf, fbuf
+        sbuf = jnp.where(better, tab_ref[o + 12].astype(jnp.int32), sbuf)
+        rbuf = jnp.where(better, tab_ref[o + 13], rbuf)
+        gbuf = jnp.where(better, tab_ref[o + 14], gbuf)
+        bbuf = jnp.where(better, tab_ref[o + 15], bbuf)
+        return izbuf, sbuf, rbuf, gbuf, bbuf
 
     izbuf0 = jnp.zeros((TILE_H, width), jnp.float32)
-    fbuf0 = jnp.full((TILE_H, width), -1, jnp.int32)
-    izbuf, fbuf = jax.lax.fori_loop(0, n, face_body, (izbuf0, fbuf0))
+    sbuf0 = jnp.full((TILE_H, width), -1, jnp.int32)
+    zero = jnp.zeros((TILE_H, width), jnp.float32)
+    izbuf, sbuf, rbuf, gbuf, bbuf = jax.lax.fori_loop(
+        0, n, face_body, (izbuf0, sbuf0, zero, zero, zero)
+    )
     iz_out[:] = izbuf
-    f_out[:] = fbuf
+    f_out[:] = sbuf
+    r_out[:] = rbuf
+    g_out[:] = gbuf
+    b_out[:] = bbuf
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width"))
@@ -85,13 +94,20 @@ def pallas_rasterize_tiles(
     fy: jax.Array,  # (B, F, 3)
     finv_z: jax.Array,  # (B, F, 3) 1/z per corner
     ok: jax.Array,  # (B, F) validity
+    face_rgb: jax.Array,  # (B, F, 3) pre-shaded flat color
+    face_seg: jax.Array,  # (F,) int32 segmentation ids
     height: int,
     width: int,
-) -> Tuple[jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Returns (zbuf (B,H,W) f32 meters, seg (B,H,W) i32 [-1 = background],
+    rgb (B,H,W,3) f32, dropped () i32 total overflow-dropped faces)."""
     B, F, _ = fx.shape
     assert height % TILE_H == 0, height
     T = height // TILE_H
-    K = SLOTS - 1  # face slots per band
+    # face-table padding: SMEM wants 1024-float-aligned 1D blocks
+    F_pad = max(64, -(-F // 64) * 64)
+    # per-band face-index budget (padded for SMEM alignment)
+    K = min(F_pad, 1024)
 
     # --- vertex stage: per-face affine coefficients -------------------------
     x0, x1, x2 = fx[..., 0], fx[..., 1], fx[..., 2]
@@ -122,11 +138,23 @@ def pallas_rasterize_tiles(
 
     def zc(k):
         # raw (unsigned) edge coefficients = signed ones * s
-        return (
-            (e12[k] * iz0 + e20[k] * iz1 + e01[k] * iz2) * s * inv_area
-        )
+        return (e12[k] * iz0 + e20[k] * iz1 + e01[k] * iz2) * s * inv_area
 
-    z_a, z_b, z_c = zc(0), zc(1), zc(2)
+    rec = jnp.stack(
+        [
+            e01[0], e01[1], e01[2],
+            e12[0], e12[1], e12[2],
+            e20[0], e20[1], e20[2],
+            zc(0), zc(1), zc(2),
+            jnp.broadcast_to(
+                jnp.asarray(face_seg, jnp.float32)[None], area.shape
+            ),
+            face_rgb[..., 0], face_rgb[..., 1], face_rgb[..., 2],
+        ],
+        axis=-1,
+    )  # (B, F, 16)
+    table = jnp.zeros((B, F_pad, REC), jnp.float32).at[:, :F].set(rec)
+    table = table.reshape(B, F_pad * REC)
 
     # --- binning: which faces overlap each band? ----------------------------
     ymin = jnp.min(fy, axis=-1)
@@ -141,69 +169,65 @@ def pallas_rasterize_tiles(
         & (ymin[:, None, :] < bands + TILE_H)
     )  # (B, T, F)
 
-    order = jnp.argsort(~overlap, axis=-1, stable=True)[..., :K]  # (B, T, K)
-    counts = jnp.minimum(jnp.sum(overlap, axis=-1), K)
-    sel_ok = jnp.take_along_axis(overlap, order, axis=-1)
-
-    # pack records (B, F, 16) then gather per band
-    rec = jnp.stack(
-        [
-            e01[0], e01[1], e01[2],
-            e12[0], e12[1], e12[2],
-            e20[0], e20[1], e20[2],
-            z_a, z_b, z_c,
-            jnp.zeros_like(z_a),  # fid written after gather (needs order)
-            jnp.zeros_like(z_a),
-            jnp.zeros_like(z_a),
-            jnp.zeros_like(z_a),
-        ],
-        axis=-1,
-    )  # (B, F, 16)
-    g = jnp.take_along_axis(rec[:, None], order[..., None], axis=2)  # (B,T,K,16)
-    g = g.at[..., 12].set(order.astype(jnp.float32))
-    # drop faces that were gathered but don't overlap (padding slots)
-    g = g.at[..., 11].set(jnp.where(sel_ok, g[..., 11], 0.0))
-    g = g.at[..., 2].set(jnp.where(sel_ok, g[..., 2], -1.0))
-    g = g.at[..., 0].set(jnp.where(sel_ok, g[..., 0], 0.0))
-    g = g.at[..., 1].set(jnp.where(sel_ok, g[..., 1], 0.0))
-
-    header = (
-        jnp.zeros((B, T, 1, REC), jnp.float32)
-        .at[..., 0, 0]
-        .set(counts.astype(jnp.float32))
+    # stable compaction of overlapping face ids to the front, truncated at K
+    order = jnp.argsort(~overlap, axis=-1, stable=True)  # (B, T, F)
+    idx = jnp.zeros((B, T, K), jnp.int32).at[..., : min(K, F)].set(
+        order[..., : min(K, F)].astype(jnp.int32)
     )
-    flat = jnp.concatenate([header, g], axis=2).reshape(-1)
+    counts_raw = jnp.sum(overlap, axis=-1).astype(jnp.int32)  # (B, T)
+    counts = jnp.minimum(counts_raw, K)
+    dropped = jnp.sum(jnp.maximum(counts_raw - K, 0))
 
     # --- kernel --------------------------------------------------------------
-    grid = (B * T,)
-    rec_spec = pl.BlockSpec((SLOTS * REC,), lambda i: (i,), memory_space=pltpu.SMEM)
-    out_spec = pl.BlockSpec((1, TILE_H, width), lambda i: (i, 0, 0))
+    grid = (B, T)
+    n_spec = pl.BlockSpec((1, 1), lambda b, t: (b, t), memory_space=pltpu.SMEM)
+    idx_spec = pl.BlockSpec((1, 1, K), lambda b, t: (b, t, 0), memory_space=pltpu.SMEM)
+    # constant block index across the (innermost) band axis: the face table
+    # is copied into SMEM once per env, then reused for every band
+    tab_spec = pl.BlockSpec(
+        (1, F_pad * REC), lambda b, t: (b, 0), memory_space=pltpu.SMEM
+    )
+    out_spec = pl.BlockSpec((1, 1, TILE_H, width), lambda b, t: (b, t, 0, 0))
 
-    def kernel(c_ref, iz_out, f_out):
-        _raster_kernel(c_ref, iz_out.at[0], f_out.at[0], width=width, n_bands=T)
+    def kernel(n_ref, idx_ref, tab_ref, iz_out, f_out, r_out, g_out, b_out):
+        _raster_kernel(
+            n_ref.at[0], idx_ref.at[0, 0], tab_ref.at[0],
+            iz_out.at[0, 0], f_out.at[0, 0],
+            r_out.at[0, 0], g_out.at[0, 0], b_out.at[0, 0],
+            width=width, n_bands=T,
+        )
 
-    izbuf, fbuf = pl.pallas_call(
+    shape4 = (B, T, TILE_H, width)
+    izbuf, sbuf, rbuf, gbuf, bbuf = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[rec_spec],
-        out_specs=[out_spec, out_spec],
+        in_specs=[n_spec, idx_spec, tab_spec],
+        out_specs=[out_spec] * 5,
         out_shape=[
-            jax.ShapeDtypeStruct((B * T, TILE_H, width), jnp.float32),
-            jax.ShapeDtypeStruct((B * T, TILE_H, width), jnp.int32),
+            jax.ShapeDtypeStruct(shape4, jnp.float32),
+            jax.ShapeDtypeStruct(shape4, jnp.int32),
+            jax.ShapeDtypeStruct(shape4, jnp.float32),
+            jax.ShapeDtypeStruct(shape4, jnp.float32),
+            jax.ShapeDtypeStruct(shape4, jnp.float32),
         ],
-    )(flat)
+    )(counts, idx, table)
     izbuf = izbuf.reshape(B, height, width)
-    fbuf = fbuf.reshape(B, height, width)
-    zbuf = jnp.where(fbuf >= 0, 1.0 / jnp.maximum(izbuf, 1e-9), 1e9)
-    return zbuf, fbuf
+    seg = sbuf.reshape(B, height, width)
+    rgb = jnp.stack(
+        [x.reshape(B, height, width) for x in (rbuf, gbuf, bbuf)], axis=-1
+    )
+    zbuf = jnp.where(seg >= 0, 1.0 / jnp.maximum(izbuf, 1e-9), 1e9)
+    return zbuf, seg, rgb, dropped
 
 
-def pallas_available(height: int, width: int) -> bool:
+def pallas_available(height: int, width: int, num_faces: int = 0) -> bool:
     try:
         import jax
 
         if jax.devices()[0].platform not in ("tpu", "axon"):
             return False
     except Exception:
+        return False
+    if num_faces and num_faces > MAX_SMEM_FACES:
         return False
     return height % TILE_H == 0 and width % LANES == 0

@@ -127,7 +127,7 @@ def test_double_pendulum_energy_conservation():
 
         com = body_com(model, d)
         pe = float(9.81 * (1.0 * com[0, 1, 2] + 1.0 * com[0, 2, 2]))
-        M, _, _, _ = mass_matrix_and_bias(model, d)
+        M, _ = mass_matrix_and_bias(model, d)
         ke = float(0.5 * d.qvel[0] @ M[0] @ d.qvel[0])
         return ke + pe
 
@@ -294,3 +294,30 @@ def test_passive_joint_spring():
     data, qs = jax.lax.scan(body, data, None, length=400)
     # damped spring: settles near springref
     assert abs(float(qs[-1])) < 0.05, float(qs[-1])
+
+
+def test_crb_matches_dense_jacobian_form():
+    """Moment-based CRB mass matrix/bias == dense COM-jacobian contraction."""
+    import numpy as np
+    import maniskill_tpu.envs  # noqa: F401
+    from maniskill_tpu.utils.registration import make
+    from maniskill_tpu.physics.dynamics import (
+        mass_matrix_and_bias,
+        mass_matrix_and_bias_dense,
+    )
+    from maniskill_tpu.physics.kinematics import forward_kinematics
+
+    env = make("MS-HopperHop-v1", num_envs=3, obs_mode="state")
+    env.reset(seed=0)
+    base = env.unwrapped
+    model, data = base.scene.model, base.scene.data
+    rng = np.random.RandomState(0)
+    qpos = np.asarray(data.qpos) + rng.randn(*data.qpos.shape).astype(np.float32) * 0.1
+    qvel = rng.randn(*data.qvel.shape).astype(np.float32) * 0.3
+    d = data.replace(qpos=jnp.asarray(qpos), qvel=jnp.asarray(qvel))
+    d = forward_kinematics(model, d)
+    M1, b1 = jax.jit(lambda d: mass_matrix_and_bias(model, d))(d)
+    M2, b2 = jax.jit(lambda d: mass_matrix_and_bias_dense(model, d))(d)
+    M1, b1, M2, b2 = map(np.asarray, (M1, b1, M2, b2))
+    assert np.abs(M1 - M2).max() / np.abs(M2).max() < 2e-5
+    assert np.abs(b1 - b2).max() / max(np.abs(b2).max(), 1e-9) < 2e-4
