@@ -44,7 +44,8 @@ SPHERE = 1
 BOX = 2
 CAPSULE = 3
 CYLINDER = 4
-MESH = 5  # visual-only (collision uses fitted primitives)
+MESH = 5  # visual-only (collision uses fitted primitives or convex hulls)
+HULL = 6  # convex hull proxy: vertex cloud in Model.hull_verts (collision)
 
 # Body dynamic types (mirrors reference build_dynamic/kinematic/static,
 # mani_skill/utils/building/actor_builder.py:193-261)

@@ -43,8 +43,10 @@ MAX_SMEM_FACES = 4096  # per-env face-table cap (4096*16*4B = 256 KB SMEM)
 
 
 def _raster_kernel(n_ref, idx_ref, tab_ref, iz_out, f_out, r_out, g_out, b_out, *, width, n_bands):
-    bt = pl.program_id(1)
-    row0 = bt * TILE_H
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    row0 = t * TILE_H
+    n = n_ref[b * n_bands + t]
 
     py = (
         jax.lax.broadcasted_iota(jnp.int32, (TILE_H, width), 0).astype(jnp.float32)
@@ -55,8 +57,6 @@ def _raster_kernel(n_ref, idx_ref, tab_ref, iz_out, f_out, r_out, g_out, b_out, 
         jax.lax.broadcasted_iota(jnp.int32, (TILE_H, width), 1).astype(jnp.float32)
         + 0.5
     )
-
-    n = n_ref[0]
 
     def face_body(j, carry):
         izbuf, sbuf, rbuf, gbuf, bbuf = carry
@@ -104,10 +104,11 @@ def pallas_rasterize_tiles(
     B, F, _ = fx.shape
     assert height % TILE_H == 0, height
     T = height // TILE_H
-    # face-table padding: SMEM wants 1024-float-aligned 1D blocks
-    F_pad = max(64, -(-F // 64) * 64)
-    # per-band face-index budget (padded for SMEM alignment)
-    K = min(F_pad, 1024)
+    # face-table padding: 1D SMEM blocks must be multiples of 128 elements
+    F_pad = max(128, -(-F // 128) * 128)
+    # per-band face-index budget: s32 1D SMEM blocks carry T(1024) tiling,
+    # so the block is always 1024 entries (4 KB)
+    K = 1024
 
     # --- vertex stage: per-face affine coefficients -------------------------
     x0, x1, x2 = fx[..., 0], fx[..., 1], fx[..., 2]
@@ -179,30 +180,39 @@ def pallas_rasterize_tiles(
     dropped = jnp.sum(jnp.maximum(counts_raw - K, 0))
 
     # --- kernel --------------------------------------------------------------
-    grid = (B, T)
-    n_spec = pl.BlockSpec((1, 1), lambda b, t: (b, t), memory_space=pltpu.SMEM)
-    idx_spec = pl.BlockSpec((1, 1, K), lambda b, t: (b, t, 0), memory_space=pltpu.SMEM)
-    # constant block index across the (innermost) band axis: the face table
-    # is copied into SMEM once per env, then reused for every band
-    tab_spec = pl.BlockSpec(
-        (1, F_pad * REC), lambda b, t: (b, 0), memory_space=pltpu.SMEM
+    # counts ride scalar prefetch (whole (B*T,) array in SMEM); the per-band
+    # index lists and the per-env face table are 1D-blocked SMEM windows
+    # (sizes multiples of 128 floats). The face table's block index is
+    # constant across the (innermost) band axis, so it is DMA'd into SMEM
+    # once per env and reused for every band.
+    idx_flat = idx.reshape(B * T * K)
+    table_flat = table.reshape(B * F_pad * REC)
+    idx_spec = pl.BlockSpec(
+        (K,), lambda b, t, n_ref: (b * T + t,), memory_space=pltpu.SMEM
     )
-    out_spec = pl.BlockSpec((1, 1, TILE_H, width), lambda b, t: (b, t, 0, 0))
+    tab_spec = pl.BlockSpec(
+        (F_pad * REC,), lambda b, t, n_ref: (b,), memory_space=pltpu.SMEM
+    )
+    out_spec = pl.BlockSpec((1, 1, TILE_H, width), lambda b, t, n_ref: (b, t, 0, 0))
 
     def kernel(n_ref, idx_ref, tab_ref, iz_out, f_out, r_out, g_out, b_out):
         _raster_kernel(
-            n_ref.at[0], idx_ref.at[0, 0], tab_ref.at[0],
+            n_ref, idx_ref, tab_ref,
             iz_out.at[0, 0], f_out.at[0, 0],
             r_out.at[0, 0], g_out.at[0, 0], b_out.at[0, 0],
             width=width, n_bands=T,
         )
 
     shape4 = (B, T, TILE_H, width)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, T),
+        in_specs=[idx_spec, tab_spec],
+        out_specs=[out_spec] * 5,
+    )
     izbuf, sbuf, rbuf, gbuf, bbuf = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[n_spec, idx_spec, tab_spec],
-        out_specs=[out_spec] * 5,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(shape4, jnp.float32),
             jax.ShapeDtypeStruct(shape4, jnp.int32),
@@ -210,7 +220,7 @@ def pallas_rasterize_tiles(
             jax.ShapeDtypeStruct(shape4, jnp.float32),
             jax.ShapeDtypeStruct(shape4, jnp.float32),
         ],
-    )(counts, idx, table)
+    )(counts.reshape(B * T), idx_flat, table_flat)
     izbuf = izbuf.reshape(B, height, width)
     seg = sbuf.reshape(B, height, width)
     rgb = jnp.stack(

@@ -137,12 +137,15 @@ def rasterize(
     face_mask: Optional[np.ndarray] = None,  # (F,) static visibility
     lights: Optional[List[dict]] = None,
 ) -> Dict[str, jax.Array]:
-    """Render color/depth/face-id buffers for B views.
+    """Render color/depth/segmentation buffers for B views.
 
     Returns dict with:
       depth (B, H, W) float32 camera-space depth in meters (0 = background)
-      face_id (B, H, W) int32 (-1 = background)
+      seg (B, H, W) int32 per-pixel segmentation id (0 = background)
+      valid (B, H, W) bool foreground mask
       color (B, H, W, 3) float32 in [0,1]
+      dropped () int32 — faces dropped by the binned fast path's per-band
+      budget (0 on the jnp path); callers should surface a warning if >0
     """
     B, V, _ = world_verts.shape
     F = mesh.num_faces
@@ -183,23 +186,31 @@ def rasterize(
         np.ones(F, bool) if face_mask is None else np.asarray(face_mask, bool)
     )
 
-    # Pallas fast path: z-buffer + face loop fully in VMEM (see
+    # Pallas fast path: binned bands + in-kernel flat shading (see
     # pallas_rasterizer.py); falls back to the chunked jnp path on CPU or
     # non-tile-aligned sizes.
     import os
 
     from .pallas_rasterizer import pallas_available, pallas_rasterize_tiles
 
-    if pallas_available(height, width) and os.environ.get("MS_PALLAS_RENDER", "0") == "1":
+    if pallas_available(height, width, F) and os.environ.get("MS_PALLAS_RENDER", "1") == "1":
         ok = (
             ffront.all(-1)
             & jnp.asarray(fmask_np)[None]
         ).astype(jnp.int32)
         inv_z = 1.0 / jnp.maximum(fz, 1e-6)
-        zbuf, fbuf = pallas_rasterize_tiles(fx, fy, inv_z, ok, height, width)
-        zbuf = jnp.where(fbuf < 0, big, zbuf)
-        return _shade(
-            mesh, world_verts, zbuf, fbuf, B, height, width, lights
+        face_rgb = _face_rgb(mesh, world_verts, lights)
+        zbuf, seg, rgb, dropped = pallas_rasterize_tiles(
+            fx, fy, inv_z, ok, face_rgb, jnp.asarray(mesh.face_seg, jnp.int32),
+            height, width,
+        )
+        valid = seg >= 0
+        return dict(
+            depth=jnp.where(valid, zbuf, 0.0),
+            seg=jnp.where(valid, seg, 0),
+            valid=valid,
+            color=rgb,
+            dropped=dropped,
         )
 
     # memory-adaptive face chunking: the coverage intermediates are
@@ -260,13 +271,9 @@ def rasterize(
     return _shade(mesh, world_verts, zbuf, fbuf, B, height, width, lights)
 
 
-def _shade(mesh, world_verts, zbuf, fbuf, B, height, width, lights):
-    """Shared shading tail: flat lambertian color from the face-id buffer."""
+def _face_rgb(mesh, world_verts, lights) -> jax.Array:
+    """Per-face flat lambertian color (B, F, 3)."""
     fv = np.asarray(mesh.faces)
-    background = fbuf < 0
-    fidx = jnp.maximum(fbuf, 0)
-
-    # flat shading: face normal lambertian
     v0 = world_verts[:, fv[:, 0]]
     v1w = world_verts[:, fv[:, 1]]
     v2w = world_verts[:, fv[:, 2]]
@@ -292,18 +299,35 @@ def _shade(mesh, world_verts, zbuf, fbuf, B, height, width, lights):
     for d, cl in zip(light_dirs, light_cols):
         lam = jnp.abs(fn @ jnp.asarray(d))  # two-sided
         shade = shade + lam[..., None] * jnp.asarray(cl)
-    face_rgb = jnp.clip(mesh.face_color[None] * shade, 0.0, 1.0)  # (B, F, 3)
+    return jnp.clip(mesh.face_color[None] * shade, 0.0, 1.0)  # (B, F, 3)
+
+
+def _shade(mesh, world_verts, zbuf, fbuf, B, height, width, lights):
+    """Shading tail of the jnp path: flat color + segmentation from the
+    face-id buffer via one one-hot contraction."""
+    background = fbuf < 0
+    fidx = jnp.maximum(fbuf, 0)
+    face_rgb = _face_rgb(mesh, world_verts, lights)
 
     # one-hot matmul gather: XLA's native gather is ~20x slower on TPU when
     # the operand is produced in the same program (measured 145ms vs 7ms per
-    # 1024x128^2 frame); the (HW, F) one-hot contraction rides the MXU
+    # 1024x128^2 frame); the (HW, F) one-hot contraction rides the MXU.
+    # Color and segmentation share ONE one-hot by concatenating channels.
     F = face_rgb.shape[1]
     oh = jax.nn.one_hot(fidx.reshape(B, -1), F, dtype=face_rgb.dtype)
-    pix_rgb = jnp.einsum("bpf,bfc->bpc", oh, face_rgb).reshape(
-        B, height, width, 3
-    )
-    pix_rgb = jnp.where(background[..., None], 0.0, pix_rgb)
+    attr = jnp.concatenate(
+        [face_rgb, jnp.asarray(mesh.face_seg, jnp.float32)[None, :, None].repeat(B, 0)],
+        axis=-1,
+    )  # (B, F, 4)
+    pix = jnp.einsum("bpf,bfc->bpc", oh, attr).reshape(B, height, width, 4)
+    pix_rgb = jnp.where(background[..., None], 0.0, pix[..., :3])
+    seg = jnp.where(background, 0, pix[..., 3].astype(jnp.int32))
 
-    big = jnp.float32(1e9)
     depth = jnp.where(background, 0.0, zbuf)
-    return dict(depth=depth, face_id=jnp.where(background, -1, fbuf), color=pix_rgb)
+    return dict(
+        depth=depth,
+        seg=seg,
+        valid=~background,
+        color=pix_rgb,
+        dropped=jnp.zeros((), jnp.int32),
+    )

@@ -157,17 +157,7 @@ class Camera:
                 jnp.clip(buf["depth"] * 1000.0, 0, 32767).astype(jnp.int16)[..., None]
             )
         if segmentation:
-            # one-hot matmul gather (see rasterizer._shade): seg ids < 2^15
-            # are exact in f32
-            B = buf["face_id"].shape[0]
-            fidx = jnp.maximum(buf["face_id"], 0).reshape(B, -1)
-            F = mesh.face_seg.shape[0]
-            oh = jax.nn.one_hot(fidx, F, dtype=jnp.float32)
-            seg = (oh @ jnp.asarray(mesh.face_seg, jnp.float32)).reshape(
-                buf["face_id"].shape
-            )
-            seg = jnp.where(buf["face_id"] < 0, 0.0, seg)
-            out["segmentation"] = seg.astype(jnp.int16)[..., None]
+            out["segmentation"] = buf["seg"].astype(jnp.int16)[..., None]
         if position:
             H, W = self.config.height, self.config.width
             z = buf["depth"]  # (B, H, W) meters, 0 = background
@@ -177,7 +167,7 @@ class Camera:
             y = -ys[None, :, None] * z
             pos = jnp.stack([x, y, -z], axis=-1)  # OpenGL cam frame
             out["position"] = jnp.clip(pos * 1000.0, -32767, 32767).astype(jnp.int16)
-            out["position_valid"] = buf["face_id"] >= 0
+            out["position_valid"] = buf["valid"]
         return out
 
     def get_params(self) -> Dict[str, jax.Array]:

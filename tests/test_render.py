@@ -85,7 +85,7 @@ def test_pallas_rasterizer_matches_jnp():
 
     # force the jnp path by monkeypatching availability
     orig = pr.pallas_available
-    pr.pallas_available = lambda h, w: False
+    pr.pallas_available = lambda *a, **k: False
     try:
         base = env.unwrapped
         cam = base._sensors["base_camera"]
