@@ -18,6 +18,7 @@ from ..physics.types import (
     DYNAMIC,
     FIXED,
     FREE,
+    HULL,
     KINEMATIC,
     PLANE,
     SPHERE,
@@ -92,6 +93,66 @@ class ActorBuilder:
     def add_plane_visual(self, pose=None, scale=(1, 1, 1), material=None, color=None):
         return self._add("v", PLANE, scale, pose, 0.0, 0.0, _color(material, color))
 
+    # -- mesh shapes (convex hull cooking; reference actor_builder.py:57-164
+    # builds convex/multi-convex shapes via coacd + PhysX cooking) ---------
+    def add_convex_collision_from_mesh(
+        self, verts, faces=None, pose=None, density=1000.0, friction=0.3,
+        color=None,
+    ):
+        """One convex hull proxy covering the whole mesh/point cloud."""
+        from .cooking import hull_face_dirs, hull_proxy
+
+        pts = np.asarray(verts, np.float32).reshape(-1, 3)
+        hull = hull_proxy(pts)
+        rec = dict(
+            type=HULL,
+            size=np.abs(hull).max(axis=0).astype(np.float64),
+            pose=_pose7(pose),
+            density=density,
+            friction=friction,
+            color=color,
+            hull=hull,
+            hull_dirs=hull_face_dirs(hull),
+        )
+        self.collisions.append(rec)
+        return self
+
+    def add_multiple_convex_collisions_from_mesh(
+        self, verts, faces, pose=None, density=1000.0, friction=0.3,
+        max_parts: int = 8, color=None,
+    ):
+        """Approximate convex decomposition -> several hull proxies
+        (the reference's coacd path, actor_builder.py:129-142)."""
+        from .cooking import decompose_mesh, hull_face_dirs
+
+        parts = decompose_mesh(verts, faces, max_parts=max_parts)
+        for hull in parts:
+            rec = dict(
+                type=HULL,
+                size=np.abs(hull).max(axis=0).astype(np.float64),
+                pose=_pose7(pose),
+                density=density,
+                friction=friction,
+                color=color,
+                hull=hull,
+                hull_dirs=hull_face_dirs(hull),
+            )
+            self.collisions.append(rec)
+        return self
+
+    def add_visual_from_mesh(self, verts, faces, pose=None, color=None, material=None):
+        rec = dict(
+            type=5,  # MESH (visual only)
+            size=np.ones(3),
+            pose=_pose7(pose),
+            density=0.0,
+            friction=0.0,
+            color=_color(material, color),
+            mesh=(np.asarray(verts, np.float32), np.asarray(faces, np.int32)),
+        )
+        self.visuals.append(rec)
+        return self
+
     def set_initial_pose(self, pose):
         self.initial_pose = _pose7(pose)
         return self
@@ -123,7 +184,9 @@ class ActorBuilder:
             body = 0
         else:
             shapes = [
-                (c["type"], c["size"], c["pose"][:3], c["pose"][3:], c["density"])
+                # hull proxies use their AABB box equivalent for inertia
+                (BOX if c["type"] == HULL else c["type"],
+                 c["size"], c["pose"][:3], c["pose"][3:], c["density"])
                 for c in self.collisions
                 if c["type"] != PLANE
             ]
@@ -162,7 +225,12 @@ class ActorBuilder:
                 contype=contype,
                 conaffinity=conaffinity,
                 name=f"{name}_col_{len(mb.geoms)}",
-                visual=False,
+                # hull colliders double as visuals when given a color (mesh
+                # objects without separate visual geometry, e.g. YCB)
+                visual=c.get("color") is not None,
+                color=c.get("color") or (0.5, 0.5, 0.5, 1.0),
+                hull=c.get("hull"),
+                hull_dirs=c.get("hull_dirs"),
             )
         for v in self.visuals:
             gpose = v["pose"].copy()
@@ -181,6 +249,7 @@ class ActorBuilder:
                 conaffinity=0,
                 color=v["color"] or (0.5, 0.5, 0.5, 1.0),
                 name=f"{name}_vis_{len(mb.geoms)}",
+                mesh=v.get("mesh"),
             )
         actor = Actor(
             self.scene,

@@ -28,6 +28,8 @@ class ShapeSpec:
     density: float = 1000.0
     color: Tuple[float, float, float, float] = (0.6, 0.6, 0.6, 1.0)
     mesh: Optional[tuple] = None  # (verts, faces) for MESH visuals
+    hull: Optional[np.ndarray] = None  # (HULL_MAX_VERTS, 3) for HULL colliders
+    hull_dirs: Optional[np.ndarray] = None  # (HULL_MAX_DIRS, 3)
 
 
 @dataclasses.dataclass
@@ -147,6 +149,7 @@ class ArticulationBuilder:
                     body, c.type, np.asarray(c.size, float), pos=c.pos, quat=c.quat,
                     friction=c.friction, contype=contype, conaffinity=conaffinity,
                     name=f"{prefix}{spec.name}_col_{len(mb.geoms)}", visual=False,
+                    hull=c.hull, hull_dirs=c.hull_dirs,
                 )
             for v in spec.visuals:
                 mb.add_geom(

@@ -1,10 +1,11 @@
 """URDF loader (counterpart of mani_skill/utils/building/urdf_loader.py:23-123).
 
 Parses URDF XML into ``LinkSpec``s for the ArticulationBuilder. Primitive
-geometries map directly; mesh geometries have no runtime mesh collider yet
-(the TPU narrowphase is analytic-primitive based), so meshes fall back to
-their bounding primitive when ``mesh_fallback`` is enabled, else are skipped
-with a warning.
+geometries map directly. Mesh collision geometries are cooked at load time:
+with ``load_multiple_collisions_from_file`` they decompose into convex HULL
+proxies (the reference's coacd path); otherwise they are fitted to a
+primitive (capsule for elongated shapes, OBB otherwise) by the native
+cooking library.
 """
 from __future__ import annotations
 
@@ -55,7 +56,8 @@ def _origin(el):
 
 
 def _parse_geometry(geom_el, mesh_fallback: bool, base_dir: str = ".",
-                    visual: bool = False):
+                    visual: bool = False, convex_hulls: bool = False):
+    """Returns a ShapeSpec, a list of ShapeSpecs (multi-hull meshes), or None."""
     g = geom_el.find("geometry")
     if g is None:
         return None
@@ -79,11 +81,13 @@ def _parse_geometry(geom_el, mesh_fallback: bool, base_dir: str = ".",
         return ShapeSpec(CAPSULE, [r, hl, 0], pos, quat)
     mesh = g.find("mesh")
     if mesh is not None:
-        return _cook_mesh(mesh, pos, quat, base_dir, visual, mesh_fallback)
+        return _cook_mesh(mesh, pos, quat, base_dir, visual, mesh_fallback,
+                          convex_hulls=convex_hulls)
     return None
 
 
-def _cook_mesh(mesh_el, pos, quat, base_dir, visual, mesh_fallback):
+def _cook_mesh(mesh_el, pos, quat, base_dir, visual, mesh_fallback,
+               convex_hulls: bool = False):
     """Mesh geometry: load + cook with the native library.
 
     Collision meshes get a fitted primitive (capsule for elongated shapes,
@@ -113,6 +117,30 @@ def _cook_mesh(mesh_el, pos, quat, base_dir, visual, mesh_fallback):
         return ShapeSpec(
             5, [1.0, 1.0, 1.0], pos, quat, mesh=(verts, faces)
         )  # MESH type
+
+    if convex_hulls:
+        # convex decomposition -> HULL proxies (the reference's
+        # load_multiple_collisions_from_file / coacd path)
+        try:
+            from ..physics.types import HULL
+            from .cooking import decompose_mesh, hull_face_dirs
+
+            parts = decompose_mesh(verts, faces, max_parts=8)
+            return [
+                ShapeSpec(
+                    HULL,
+                    np.abs(h).max(axis=0),
+                    pos,
+                    quat,
+                    hull=h,
+                    hull_dirs=hull_face_dirs(h),
+                )
+                for h in parts
+            ]
+        except Exception as e:
+            logger.warning(
+                "hull cooking failed for %s (%s); primitive fallback", fname, e
+            )
 
     # collision: fit a primitive with the native cooking library
     try:
@@ -240,8 +268,13 @@ class URDFLoader:
                 spec.inertia = np.full(3, 1e-8)
 
             for col in link_el.findall("collision"):
-                shape = _parse_geometry(col, self.mesh_fallback, base_dir)
-                if shape is not None:
+                shape = _parse_geometry(
+                    col, self.mesh_fallback, base_dir,
+                    convex_hulls=self.load_multiple_collisions_from_file,
+                )
+                if isinstance(shape, list):
+                    spec.collisions.extend(shape)
+                elif shape is not None:
                     spec.collisions.append(shape)
             for vis in link_el.findall("visual"):
                 shape = _parse_geometry(

@@ -97,8 +97,13 @@ class BaseEnv(gym.Env):
         # ---- reconfigure: build the scene once ----
         self._reconfigure()
 
-        # spaces
-        self.single_action_space = self.agent.single_action_space
+        # spaces (robot-free envs get an empty action space)
+        if getattr(self, "agent", None) is not None:
+            self.single_action_space = self.agent.single_action_space
+        else:
+            import gymnasium as _gym
+
+            self.single_action_space = _gym.spaces.Box(-1.0, 1.0, (0,), np.float32)
         self.action_space = gym_utils.batch_space(self.single_action_space, num_envs)
 
         # first reset to derive observation space (sapien_env.py:327-345)
@@ -126,7 +131,7 @@ class BaseEnv(gym.Env):
 
     @property
     def control_mode(self):
-        return self.agent.control_mode
+        return self.agent.control_mode if getattr(self, "agent", None) is not None else None
 
     @property
     def elapsed_steps(self):
@@ -157,7 +162,8 @@ class BaseEnv(gym.Env):
         self.scene.model = model.replace(
             contact_slop=sc.contact_slop, baumgarte=sc.baumgarte
         )
-        self.agent._setup_controllers()
+        if getattr(self, "agent", None) is not None:
+            self.agent._setup_controllers()
         self._setup_sensors(options)
         self._after_reconfigure(options)
         self._prebuild_render_meshes()

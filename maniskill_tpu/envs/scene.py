@@ -161,6 +161,46 @@ class ManiSkillScene:
             sizes = sizes[:, None, :]
         self.model = m.replace(geom_size=gs.at[:, gids].set(sizes))
 
+    def set_per_env_hulls(self, actor, hulls, dirs=None):
+        """Per-env convex hull geometry for one actor (heterogeneous objects,
+        the reference's PickSingleYCB Actor.merge pattern,
+        pick_single_ycb.py:146-149).
+
+        hulls: (B, K, HULL_MAX_VERTS, 3) local vertex clouds for the actor's
+        K HULL geoms; dirs: optional (B, K, HULL_MAX_DIRS, 3) facet normals
+        (computed from the hulls when omitted).
+        """
+        import numpy as np
+
+        from ..building.cooking import hull_face_dirs
+
+        m = self.model
+        gids = [
+            g for g in actor.geom_ids if int(np.asarray(m.geom_hull)[g]) >= 0
+        ]
+        hids = np.asarray(m.geom_hull)[gids]
+        hulls = jnp.asarray(hulls, jnp.float32)
+        assert hulls.shape[1] == len(hids), (hulls.shape, len(hids))
+        if dirs is None:
+            hv = np.asarray(hulls)
+            dirs = np.stack(
+                [
+                    np.stack([hull_face_dirs(hv[b, k]) for k in range(hv.shape[1])])
+                    for b in range(hv.shape[0])
+                ]
+            )
+        dirs = jnp.asarray(dirs, jnp.float32)
+        hvt = m.hull_verts
+        hdt = m.hull_dirs
+        if hvt.ndim == 3:
+            hvt = jnp.broadcast_to(hvt, (self.num_envs,) + hvt.shape)
+        if hdt.ndim == 3:
+            hdt = jnp.broadcast_to(hdt, (self.num_envs,) + hdt.shape)
+        self.model = m.replace(
+            hull_verts=hvt.at[:, hids].set(hulls),
+            hull_dirs=hdt.at[:, hids].set(dirs),
+        )
+
     def set_per_env_body_mass(self, actor, mass):
         """mass: (B,) dynamic-randomized masses for one body."""
         m = self.model

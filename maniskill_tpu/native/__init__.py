@@ -110,3 +110,15 @@ def fit_capsule(points: np.ndarray):
         ]
     )
     return center, quat, radius, half_len
+
+
+def support_points(points: np.ndarray, dirs: np.ndarray) -> np.ndarray:
+    """Index of the support (max-dot) vertex for each direction: (D,) int32."""
+    pts = np.ascontiguousarray(points.reshape(-1, 3), np.float64)
+    dd = np.ascontiguousarray(dirs.reshape(-1, 3), np.float64)
+    out = np.zeros(len(dd), np.int32)
+    _lib().support_points(
+        _dp(pts), len(pts), _dp(dd), len(dd),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out

@@ -74,6 +74,10 @@ class GeomDef:
     visual: bool = True
     collision: bool = True
     mesh: Optional[tuple] = None  # (verts (V,3) f32, faces (F,3) i32) for MESH visuals
+    # convex hull proxy (geom type HULL): (HULL_MAX_VERTS, 3) local verts +
+    # (HULL_MAX_DIRS, 3) candidate facet normals (building/cooking.py)
+    hull: Optional[object] = None
+    hull_dirs: Optional[object] = None
 
 
 @dataclasses.dataclass
@@ -193,6 +197,8 @@ class ModelBuilder:
         visual: bool = True,
         collision: bool = True,
         mesh=None,
+        hull=None,
+        hull_dirs=None,
     ) -> int:
         size = np.asarray(size, np.float64)
         if size.shape == ():
@@ -213,6 +219,8 @@ class ModelBuilder:
             visual=visual,
             collision=collision,
             mesh=mesh,
+            hull=None if hull is None else np.asarray(hull, np.float32),
+            hull_dirs=None if hull_dirs is None else np.asarray(hull_dirs, np.float32),
         )
         self.geoms.append(g)
         return len(self.geoms) - 1
@@ -308,6 +316,32 @@ class ModelBuilder:
             max_active = 0
 
         col_geoms = self.geoms  # all geoms (visual-only ones get contype=0)
+
+        # convex hull proxy tables (geom type HULL)
+        from .types import HULL as _HULL
+        from ..building.cooking import HULL_MAX_DIRS, HULL_MAX_VERTS
+
+        geom_hull = np.full(len(col_geoms), -1, np.int32)
+        hv_list, hd_list = [], []
+        for gi, g in enumerate(col_geoms):
+            if g.type == _HULL:
+                assert g.hull is not None, f"HULL geom {g.name} missing hull verts"
+                geom_hull[gi] = len(hv_list)
+                hv = np.asarray(g.hull, np.float32)
+                assert hv.shape == (HULL_MAX_VERTS, 3), hv.shape
+                hv_list.append(hv)
+                hd = (
+                    np.asarray(g.hull_dirs, np.float32)
+                    if g.hull_dirs is not None
+                    else np.tile(np.array([[0, 0, 1.0]], np.float32), (HULL_MAX_DIRS, 1))
+                )
+                hd_list.append(hd)
+        if hv_list:
+            hull_verts = jnp.asarray(np.stack(hv_list))
+            hull_dirs = jnp.asarray(np.stack(hd_list))
+        else:
+            hull_verts = None
+            hull_dirs = None
         model = Model(
             nq=nq,
             nv=nv,
@@ -372,6 +406,9 @@ class ModelBuilder:
             ),
             geom_friction=jnp.asarray([g.friction for g in col_geoms], jnp.float32),
             gravity=jnp.asarray(self.gravity, jnp.float32),
+            hull_verts=hull_verts,
+            hull_dirs=hull_dirs,
+            geom_hull=HArray(geom_hull),
             timestep=self.timestep,
             solver_iterations=self.solver_iterations,
             max_active_contacts=max_active,

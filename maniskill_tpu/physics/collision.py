@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.geometry import rotation_conversions as rc
-from .types import BOX, CAPSULE, CYLINDER, PLANE, SPHERE, Contact, Data, HArray, Model
+from .types import BOX, CAPSULE, CYLINDER, HULL, PLANE, SPHERE, Contact, Data, HArray, Model
+from .types import f32_matmuls
 from .kinematics import geom_poses
 
 # A contact candidate: (pos (B,3), normal (B,3), depth (B,))
@@ -288,6 +289,186 @@ def capsule_capsule(p1, q1, s1, p2, q2, s2) -> List[Cand]:
     return [(pos, n, depth)]
 
 
+# ======================================================================
+# convex hull narrowphase (geom type HULL) — support-function SAT
+# ======================================================================
+#
+# Convex shapes are vertex clouds ("hull proxies", cooked by
+# building/cooking.py, replacing the reference's coacd + PhysX convex
+# cooking). Primitives entering a hull pair are converted to equivalent
+# vertex clouds with a margin radius (sphere = 1 vert + r, capsule = 2 + r,
+# box = 8 corners). Contact normal = the minimum-penetration axis over both
+# hulls' dominant facet normals (± each) plus the center line; the manifold
+# = the 4 deepest vertices of the incident hull along that axis. This is
+# exact SAT minus edge-edge axes — fully batched, static shapes, and the
+# support scans are MXU matmuls.
+
+HULL_CONTACTS = 4
+
+
+def _support_sat(pA, qA, vA, dA, rA, pB, qB, vB, dB, rB) -> List[Cand]:
+    """Generic convex-convex narrowphase; returns HULL_CONTACTS candidates.
+
+    pX (B,P,3), qX (B,P,4), vX local verts (B,P,V,3) or (P,V,3),
+    dX local candidate normals (P,D,3) or None, rX margin radius (B,P)|(P,)|0.
+    """
+    B, P = pA.shape[:2]
+
+    def wverts(p, q, v):
+        v = jnp.broadcast_to(v, (B, P) + v.shape[-2:])
+        return p[:, :, None] + rc.quaternion_apply(q[:, :, None], v)
+
+    wA = wverts(pA, qA, vA)  # (B, P, VA, 3)
+    wB = wverts(pB, qB, vB)
+    rA = jnp.broadcast_to(jnp.asarray(rA, jnp.float32), (B, P))
+    rB = jnp.broadcast_to(jnp.asarray(rB, jnp.float32), (B, P))
+
+    def wdirs(q, d):
+        # d: (P, D, 3) shared across envs, or (B, P, D, 3) heterogeneous
+        if d.ndim == 3:
+            d = d[None]
+        d = jnp.broadcast_to(d, (B, P) + d.shape[-2:])
+        return rc.quaternion_apply(q[:, :, None], d)
+
+    cands = []
+    nA = 0
+    if dA is not None:
+        cands.append(wdirs(qA, dA))
+        nA = dA.shape[-2]
+    if dB is not None:
+        cands.append(wdirs(qB, dB))
+    cl = pB - pA
+    cl = cl / jnp.maximum(jnp.linalg.norm(cl, axis=-1, keepdims=True), 1e-9)
+    cands.append(cl[:, :, None])
+    dirs = jnp.concatenate(cands, axis=2)  # (B, P, D, 3)
+    D = dirs.shape[2]
+
+    dotA = jnp.einsum("bpvk,bpdk->bpdv", wA, dirs)
+    dotB = jnp.einsum("bpvk,bpdk->bpdv", wB, dirs)
+    maxA, minA = dotA.max(-1), dotA.min(-1)  # (B, P, D)
+    maxB, minB = dotB.max(-1), dotB.min(-1)
+    r2 = (rA + rB)[:, :, None]
+    # penetration pushing B along +d / along -d
+    penP = maxA - minB + r2
+    penN = maxB - minA + r2
+    pen2 = jnp.concatenate([penP, penN], axis=-1)  # (B, P, 2D)
+    k = jnp.argmin(pen2, axis=-1)  # (B, P)
+    pen = jnp.take_along_axis(pen2, k[..., None], axis=-1)[..., 0]
+    is_neg = k >= D
+    kd = jnp.where(is_neg, k - D, k)
+    dstar = jnp.take_along_axis(
+        dirs, kd[..., None, None].astype(jnp.int32).repeat(3, -1), axis=2
+    )[:, :, 0]
+    n = jnp.where(is_neg[..., None], -dstar, dstar)  # (B, P, 3) pushes B out
+
+    # supports along the chosen axis n
+    ndotA = jnp.einsum("bpvk,bpk->bpv", wA, n)
+    ndotB = jnp.einsum("bpvk,bpk->bpv", wB, n)
+    supA = ndotA.max(-1)  # (B, P)
+    infB = ndotB.min(-1)
+    # per-vertex penetration depths
+    depthB_v = supA[..., None] + r2 - ndotB  # B verts into A (B, P, VB)
+    depthA_v = ndotA + r2 - infB[..., None]  # A verts into B (B, P, VA)
+
+    # incident hull: the one NOT owning the winning face axis (centerline or
+    # B-owned axis -> take B verts; A-owned... axis from A's normals means
+    # A's face is the reference -> B is incident).
+    fromA = kd < nA  # (B, P)
+    VA, VB = wA.shape[2], wB.shape[2]
+    V = max(VA, VB)
+
+    def padv(x, V):
+        if x.shape[2] == V:
+            return x
+        reps = [x[:, :, :1]] * (V - x.shape[2])
+        return jnp.concatenate([x] + reps, axis=2)
+
+    depth_v = jnp.where(
+        fromA[..., None], padv(depthB_v[..., None], V)[..., 0],
+        padv(depthA_v[..., None], V)[..., 0],
+    )
+    verts_v = jnp.where(
+        fromA[..., None, None], padv(wB, V), padv(wA, V)
+    )
+    kk = min(HULL_CONTACTS, V)
+    top_d, top_i = jax.lax.top_k(depth_v, kk)  # (B, P, kk)
+    top_v = jnp.take_along_axis(
+        verts_v, top_i[..., None].astype(jnp.int32).repeat(3, -1), axis=2
+    )
+    separated = pen < 0.0
+    out = []
+    for i in range(kk):
+        d_i = jnp.where(separated, BAD_DEPTH, top_d[..., i])
+        out.append((top_v[:, :, i], n, d_i))  # anchored at the deep vertex
+    while len(out) < HULL_CONTACTS:
+        out.append((top_v[:, :, 0], n, jnp.full(pen.shape, BAD_DEPTH)))
+    return out
+
+
+_BOX_CORNERS = np.array(
+    [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+    np.float32,
+)  # (8, 3)
+_EYE3 = np.eye(3, dtype=np.float32)
+
+
+def _as_hull_operand(model: Model, ttype: int, gidx: np.ndarray, gquat, size):
+    """(verts, dirs, margin) for one side of a hull pair."""
+    if ttype == HULL:
+        gh = np.asarray(model.geom_hull)[gidx]
+        hv = model.hull_verts
+        if hv.ndim == 4:  # heterogeneous (B, NH, MAXV, 3)
+            verts = hv[:, gh]
+        else:
+            verts = hv[gh]  # (P, MAXV, 3)
+        hd = model.hull_dirs
+        if hd.ndim == 4:  # heterogeneous (B, NH, D, 3)
+            dirs = hd[:, gh]
+        else:
+            dirs = hd[gh]  # (P, D, 3)
+        return verts, dirs, 0.0
+    if ttype == BOX:
+        verts = _BOX_CORNERS[None] * size[..., None, :]  # (..., P, 8, 3)
+        return verts, jnp.asarray(_EYE3[None].repeat(len(gidx), 0)), 0.0
+    if ttype == SPHERE:
+        verts = jnp.zeros(size.shape[:-1] + (1, 3), jnp.float32)
+        return verts, None, size[..., 0]
+    if ttype == CAPSULE:
+        z = jnp.asarray([[0.0, 0, -1], [0.0, 0, 1]], jnp.float32)
+        verts = z[None] * size[..., 1:2, None]  # (..., P, 2, 3) +- hl z
+        return verts, jnp.asarray(np.array([[[0.0, 0, 1]]], np.float32).repeat(len(gidx), 0)), size[..., 0]
+    if ttype == CYLINDER:
+        # 8 rim points per cap; size = (radius, half_len)
+        ang = np.pi / 4 * np.arange(8)
+        rim = np.stack([np.cos(ang), np.sin(ang), np.zeros(8)], -1).astype(np.float32)
+        local = np.concatenate(
+            [rim + [0, 0, 1.0], rim + [0, 0, -1.0]], 0
+        )  # (16, 3) unit
+        scale = jnp.stack(
+            [size[..., 0], size[..., 0], size[..., 1]], axis=-1
+        )  # (..., P, 3)
+        verts = local[None] * scale[..., None, :]
+        dirs = np.concatenate([rim[:4], [[0, 0, 1.0]]], 0).astype(np.float32)
+        return verts, jnp.asarray(dirs[None].repeat(len(gidx), 0)), 0.0
+    raise ValueError(f"geom type {ttype} cannot enter a hull pair")
+
+
+def plane_hull(model: Model, i2: np.ndarray, p1, q1, s1, p2, q2, s2) -> List[Cand]:
+    """Plane vs convex hull: the 4 deepest proxy vertices below the plane."""
+    n = _plane_normal(q1)
+    verts, _, margin = _as_hull_operand(model, HULL, i2, q2, s2)
+    B, P = p2.shape[:2]
+    verts = jnp.broadcast_to(verts, (B, P) + verts.shape[-2:])
+    w = p2[:, :, None] + rc.quaternion_apply(q2[:, :, None], verts)  # (B,P,V,3)
+    h = jnp.sum((w - p1[:, :, None]) * n[:, :, None], axis=-1)  # (B, P, V)
+    depth = -h
+    top_d, top_i = jax.lax.top_k(depth, 4)
+    top_w = jnp.take_along_axis(
+        w, top_i[..., None].astype(jnp.int32).repeat(3, -1), axis=2
+    )
+    return [(top_w[:, :, i], n, top_d[..., i]) for i in range(4)]
+
+
 _DISPATCH = {
     (PLANE, SPHERE): plane_sphere,
     (PLANE, BOX): plane_box,
@@ -315,10 +496,18 @@ def contacts_per_pair(t1: int, t2: int) -> int:
         (BOX, BOX): 8,
         (BOX, CAPSULE): 3,
         (CAPSULE, CAPSULE): 1,
+        # convex hull proxies (support-function SAT narrowphase)
+        (PLANE, HULL): 4,
+        (SPHERE, HULL): HULL_CONTACTS,
+        (BOX, HULL): HULL_CONTACTS,
+        (CAPSULE, HULL): HULL_CONTACTS,
+        (CYLINDER, HULL): HULL_CONTACTS,
+        (HULL, HULL): HULL_CONTACTS,
     }
     return fn_points.get((t1, t2), 0)
 
 
+@f32_matmuls
 def collide(model: Model, data: Data, kin=None) -> Contact:
     """Run narrowphase for all candidate pairs -> static-shape Contact set.
 
@@ -354,16 +543,30 @@ def collide(model: Model, data: Data, kin=None) -> Contact:
 
     pos_l, n_l, d_l, f_l, g1_l, g2_l = [], [], [], [], [], []
     for (t1, t2), pairs in sorted(groups.items()):
-        fn = _DISPATCH.get((t1, t2))
-        if fn is None:
-            continue
         i1 = np.array([p[0] for p in pairs], np.int32)
         i2 = np.array([p[1] for p in pairs], np.int32)
         P = len(pairs)
-        cands = fn(
-            gpos[:, i1], gquat[:, i1], size[:, i1],
-            gpos[:, i2], gquat[:, i2], size[:, i2],
-        )
+        if t2 == HULL and t1 == PLANE:
+            cands = plane_hull(
+                model, i2,
+                gpos[:, i1], gquat[:, i1], size[:, i1],
+                gpos[:, i2], gquat[:, i2], size[:, i2],
+            )
+        elif t2 == HULL:
+            vA, dA, rA = _as_hull_operand(model, t1, i1, gquat[:, i1], size[:, i1])
+            vB, dB, rB = _as_hull_operand(model, t2, i2, gquat[:, i2], size[:, i2])
+            cands = _support_sat(
+                gpos[:, i1], gquat[:, i1], vA, dA, rA,
+                gpos[:, i2], gquat[:, i2], vB, dB, rB,
+            )
+        else:
+            fn = _DISPATCH.get((t1, t2))
+            if fn is None:
+                continue
+            cands = fn(
+                gpos[:, i1], gquat[:, i1], size[:, i1],
+                gpos[:, i2], gquat[:, i2], size[:, i2],
+            )
         mu = 0.5 * (fric[:, i1] + fric[:, i2])  # (B, P)
         for (cp, cn, cd) in cands:
             pos_l.append(cp)  # (B, P, 3)

@@ -27,6 +27,7 @@ import numpy as np
 from ..utils.geometry import rotation_conversions as rc
 from . import cf
 from .types import FIXED, FREE, HINGE, SLIDE, Data, Model
+from .types import f32_matmuls
 from .kinematics import body_com, body_jacobians, dof_frames
 
 
@@ -121,6 +122,7 @@ def _crb_masks(model: Model):
     return out
 
 
+@f32_matmuls
 def mass_matrix_and_bias_cf(
     model: Model, data: Data, kin
 ) -> Tuple[jax.Array, jax.Array]:
@@ -275,6 +277,7 @@ def _symv_c(S6: jax.Array, v: jax.Array) -> jax.Array:
     )
 
 
+@f32_matmuls
 def mass_matrix_and_bias(model: Model, data: Data) -> Tuple[jax.Array, jax.Array]:
     """Batch-first convenience wrapper: recomputes component-form kinematics
     from data.qpos/qvel and delegates to mass_matrix_and_bias_cf."""
@@ -284,6 +287,7 @@ def mass_matrix_and_bias(model: Model, data: Data) -> Tuple[jax.Array, jax.Array
     return mass_matrix_and_bias_cf(model, data, kin)
 
 
+@f32_matmuls
 def mass_matrix_and_bias_dense(
     model: Model, data: Data
 ) -> Tuple[jax.Array, jax.Array]:
@@ -339,6 +343,7 @@ def joint_positions(model: Model, data: Data) -> jax.Array:
     return data.qpos[:, plan.q_of_dof] * jnp.asarray(plan.q_mask)
 
 
+@f32_matmuls
 def smooth_dynamics(model: Model, data: Data, kin=None):
     """Compute the inverse LHS and the unconstrained velocity prediction.
 

@@ -24,6 +24,7 @@ import numpy as np
 from ..utils.geometry import rotation_conversions as rc
 from . import cf
 from .types import BOX, FIXED, FREE, HINGE, SLIDE, Data, Model
+from .types import f32_matmuls
 
 _PLAN_CACHE: dict = {}
 
@@ -137,6 +138,7 @@ def _cfp(arr: jax.Array, idx: np.ndarray) -> jax.Array:
     return cf.bf(arr)[:, idx]
 
 
+@f32_matmuls
 def forward_kinematics_cf(model: Model, qpos: jax.Array, qvel: jax.Array):
     """qpos (B, nq), qvel (B, nv) -> (xpos (3,nb,B), xquat (4,nb,B),
     v (3,nb,B), w (3,nb,B)) in world frame, batch-last.
@@ -214,6 +216,7 @@ def geom_poses_cf(model: Model, xpos_c: jax.Array, xquat_c: jax.Array):
     return pos, quat
 
 
+@f32_matmuls
 def forward_kinematics(model: Model, data: Data) -> Data:
     """qpos -> world body poses (xpos, xquat) and velocities (cvel).
 
@@ -243,6 +246,7 @@ def dof_frames(model: Model, data: Data) -> Tuple[jax.Array, jax.Array]:
     return axis, anchor
 
 
+@f32_matmuls
 def point_jacobian(
     model: Model,
     data: Data,
@@ -266,6 +270,7 @@ def point_jacobian(
     return j * jnp.asarray(mask, jnp.float32)[None, :, None]
 
 
+@f32_matmuls
 def body_jacobians(
     model: Model, data: Data, dof_axis: jax.Array, dof_anchor: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:

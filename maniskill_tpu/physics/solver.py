@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .types import Contact, Data, Model, FREE, HINGE, SLIDE
+from .types import f32_matmuls
 from .dynamics import joint_positions
 from .kinematics import dof_frames
 
@@ -101,6 +102,7 @@ def limit_rows(model: Model, data: Data):
     return jnp.broadcast_to(sign, (B, L)), jnp.broadcast_to(depth, (B, L)), lim_dofs
 
 
+@f32_matmuls
 def solve(
     model: Model,
     data: Data,

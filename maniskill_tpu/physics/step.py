@@ -25,8 +25,9 @@ def forward(model: Model, data: Data) -> Data:
     The equivalent of the reference's ``gpu_update_articulation_kinematics`` +
     ``gpu_fetch_*`` after writing qpos (mani_skill/envs/sapien_env.py:956-960).
     """
-    data = forward_kinematics(model, data)
-    data = data.replace(contact=collide(model, data))
+    with jax.default_matmul_precision("highest"):
+        data = forward_kinematics(model, data)
+        data = data.replace(contact=collide(model, data))
     return data
 
 
@@ -42,14 +43,19 @@ def step(model: Model, data: Data) -> Data:
     from .kinematics import forward_kinematics_cf
 
     h = model.timestep
-    kin = forward_kinematics_cf(model, data.qpos, data.qvel)
-    Minv, qvel_pred, qacc = smooth_dynamics(model, data, kin)
-    contact = collide(model, data, kin)
-    qvel_new, contact = solve(model, data, Minv, qvel_pred, contact, kin)
-    # safety rail: bound velocities so one bad solve cannot cascade to inf
-    qvel_new = jnp.clip(qvel_new, -model.max_qvel, model.max_qvel)
+    # f32 matmuls throughout the dynamics spine: TPU default precision feeds
+    # the MXU bf16 operands, which truncates forces/velocities (~2^-8) and
+    # accumulates per-substep integration error. The solver's inner-loop
+    # matvecs opt back into bf16 explicitly (solver.py) where it is safe.
+    with jax.default_matmul_precision("highest"):
+        kin = forward_kinematics_cf(model, data.qpos, data.qvel)
+        Minv, qvel_pred, qacc = smooth_dynamics(model, data, kin)
+        contact = collide(model, data, kin)
+        qvel_new, contact = solve(model, data, Minv, qvel_pred, contact, kin)
+        # safety rail: bound velocities so one bad solve cannot cascade to inf
+        qvel_new = jnp.clip(qvel_new, -model.max_qvel, model.max_qvel)
 
-    qpos_new = integrate_qpos(model, data.qpos, qvel_new, h)
+        qpos_new = integrate_qpos(model, data.qpos, qvel_new, h)
     return data.replace(
         qpos=qpos_new,
         qvel=qvel_new,

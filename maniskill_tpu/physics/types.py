@@ -54,6 +54,25 @@ KINEMATIC = 1
 STATIC = 2
 
 
+def f32_matmuls(fn):
+    """Trace ``fn`` with f32-accurate matmuls.
+
+    TPU default matmul precision feeds the MXU bf16 operands (~2^-8 relative
+    error), which is unacceptable for the dynamics spine: forces and
+    integrated velocities would quantize per substep. Hot paths that tolerate
+    bf16 (the solver inner iteration, the rasterizer shading gather) opt back
+    in explicitly by casting operands to bfloat16.
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 class HArray:
     """Immutable, hashable numpy array for static (non-pytree) Model fields.
 
@@ -183,6 +202,16 @@ class Model:
     # name maps (static metadata)
     body_names: Tuple[str, ...] = struct.field(pytree_node=False, default=())
     geom_names: Tuple[str, ...] = struct.field(pytree_node=False, default=())
+
+    # ---- convex hull proxies (geom type HULL) ----
+    # vertex clouds (local geom frame) padded to HULL_MAX_VERTS by repeating
+    # the first vertex; face-normal candidate directions padded likewise.
+    # The per-env heterogeneous variant carries a leading env axis.
+    hull_verts: Optional[jax.Array] = None  # (NH, MAXV, 3) or (B, NH, MAXV, 3)
+    hull_dirs: Optional[jax.Array] = None  # (NH, MAXD, 3)
+    geom_hull: Optional[np.ndarray] = struct.field(
+        pytree_node=False, default=None
+    )  # (ngeom,) i32 hull id or -1
 
     @property
     def npair(self) -> int:

@@ -30,14 +30,18 @@ class SceneMesh:
     quaternion rotate per frame.
     """
 
-    def __init__(self, verts, faces, vert_geom, face_geom, face_color, face_seg):
-        self.verts = jnp.asarray(verts)  # (V, 3) local
+    def __init__(self, verts, faces, vert_geom, face_geom, face_color, face_seg,
+                 verts_b=None):
+        self.verts = jnp.asarray(verts)  # (V, 3) local (shared across envs)
         self.faces = jnp.asarray(faces)  # (F, 3) vertex ids
         self.vert_geom = np.asarray(vert_geom)  # (V,) geom id (static)
         self.face_geom = np.asarray(face_geom)  # (F,)
         self.face_color = jnp.asarray(face_color)  # (F, 3) float
         self.face_seg = jnp.asarray(face_seg)  # (F,) int32
         self.num_faces = int(faces.shape[0])
+        # optional per-env local verts (B, V, 3) for heterogeneous geometry
+        # (per-env hull objects); overrides `verts` when present
+        self.verts_b = None if verts_b is None else jnp.asarray(verts_b)
 
     @classmethod
     def build(cls, model, scene, exclude_body_ids=()):
@@ -56,6 +60,14 @@ class SceneMesh:
             for link in art.links:
                 seg_of_body[link.body_id] = link.per_scene_id or 0
 
+        from ..physics.types import HULL
+
+        hull_verts = (
+            None if model.hull_verts is None else np.asarray(model.hull_verts)
+        )
+        geom_hull = model.geom_hull
+        verts_b = None  # set when any hull table is per-env (B, NH, V, 3)
+
         for g, gdef in enumerate(scene.mb.geoms):
             if not gdef.visual:
                 continue
@@ -65,6 +77,18 @@ class SceneMesh:
                 v, f = gdef.mesh
                 v = np.asarray(v, np.float32)
                 f = np.asarray(f, np.int32)
+            elif gdef.type == HULL and hull_verts is not None:
+                from ..building.cooking import support_morph_mesh
+
+                hid = int(geom_hull[g])
+                hv = hull_verts[..., hid, :, :]  # (V,3) or (B,V,3)
+                v, f = support_morph_mesh(hv)
+                if v.ndim == 3:  # per-env verts
+                    if verts_b is None:
+                        verts_b = []
+                    verts_b.append((voff, v))
+                    v0 = v[0]
+                    v = v0  # placeholder row in the shared table
             else:
                 v, f = geom_mesh(gdef.type, geom_size[g])
             verts_l.append(v)
@@ -83,20 +107,30 @@ class SceneMesh:
             fgeom_l = [np.zeros(1, np.int32)]
             fcol_l = [np.zeros((1, 3), np.float32)]
             fseg_l = [np.zeros(1, np.int32)]
+        all_verts = np.concatenate(verts_l)
+        vb = None
+        if verts_b is not None:
+            # promote the whole local-vert table to (B, V, 3), patch hull spans
+            B = next(v.shape[0] for _, v in verts_b)
+            vb = np.broadcast_to(all_verts[None], (B,) + all_verts.shape).copy()
+            for off, v in verts_b:
+                vb[:, off : off + v.shape[1]] = v
         return cls(
-            np.concatenate(verts_l),
+            all_verts,
             np.concatenate(faces_l),
             np.concatenate(vgeom_l),
             np.concatenate(fgeom_l),
             np.concatenate(fcol_l),
             np.concatenate(fseg_l),
+            verts_b=vb,
         )
 
     def world_vertices(self, gpos: jax.Array, gquat: jax.Array) -> jax.Array:
         """Transform local verts to world: gpos/gquat (B, ngeom, ...)."""
         vp = gpos[:, self.vert_geom]  # (B, V, 3)
         vq = gquat[:, self.vert_geom]
-        return vp + rc.quaternion_apply(vq, self.verts[None])
+        local = self.verts[None] if self.verts_b is None else self.verts_b
+        return vp + rc.quaternion_apply(vq, local)
 
 
 def look_at_matrix(eye, target, up=(0, 0, 1)) -> np.ndarray:

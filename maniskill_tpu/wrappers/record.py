@@ -187,7 +187,12 @@ class RecordEpisode(gym.Wrapper):
     def step(self, action):
         obs, reward, terminated, truncated, info = self.env.step(action)
         if self.save_trajectory:
-            self._actions.append(common.to_numpy(action))
+            act = np.asarray(common.to_numpy(action))
+            if act.ndim < 2:  # unbatched action: broadcast over envs (B, D)
+                act = np.broadcast_to(
+                    act.reshape(1, -1), (self.num_envs, act.size)
+                )
+            self._actions.append(act)
             self._rewards.append(np.asarray(common.to_numpy(reward)))
             self._terminated.append(np.asarray(common.to_numpy(terminated)))
             self._truncated.append(np.asarray(common.to_numpy(truncated)))
