@@ -1,7 +1,18 @@
 from .panda.panda import Panda
 from .panda.panda_wristcam import PandaWristCam
+from .panda.panda_stick import PandaStick
 from .so100.so100 import SO100
 from .dclaw.dclaw import DClaw
 from .floating_panda_gripper.floating_panda_gripper import FloatingPandaGripper
 from .fetch.fetch import Fetch
 from .allegro_hand.allegro import AllegroHandRight, AllegroHandRightTouch
+from .trifingerpro.trifingerpro import TriFingerPro
+from .anymal.anymal_c import ANYmalC
+from .unitree_go.unitree_go2 import UnitreeGo2, UnitreeGo2Simplified
+from .unitree_h1.h1 import UnitreeH1, UnitreeH1Simplified
+from .unitree_g1.g1 import UnitreeG1Simplified
+from .xarm6.xarm6_robotiq import XArm6Robotiq
+from .xarm6.xarm6_nogripper import XArm6NoGripper
+from .ur_e.ur_10e import UR10e
+from .widowxai.widowxai import WidowXAI
+from .koch.koch import Koch

@@ -77,17 +77,16 @@ class Panda(BaseAgent):
     gripper_damping = 1e2
     gripper_force_limit = 100
 
-    def build_description(self) -> ArticulationBuilder:
-        b = ArticulationBuilder(self.scene)
+    def _arm_link_specs(self):
+        """The 7-dof arm + hand + tcp chain (shared with PandaStick)."""
         cap = lambda r, hl, pos=(0, 0, 0), quat=(1, 0, 0, 0): ShapeSpec(
             CAPSULE, [r, hl, 0], pos, quat, friction=1.0
         )
         box = lambda hs, pos=(0, 0, 0), quat=(1, 0, 0, 0), fric=1.0: ShapeSpec(
             BOX, hs, pos, quat, friction=fric
         )
-        J = np.deg2rad  # noqa
 
-        links = [
+        return [
             LinkSpec(
                 "panda_link0", None, mass=0.629769,
                 com=(-0.041018, -0.00014, 0.049974),
@@ -172,6 +171,14 @@ class Panda(BaseAgent):
                 joint_name="panda_hand_tcp_joint", origin_pos=(0, 0, 0.1034),
                 mass=1e-4, inertia=np.full(3, 1e-8),
             ),
+        ]
+
+    def build_description(self) -> ArticulationBuilder:
+        b = ArticulationBuilder(self.scene)
+        box = lambda hs, pos=(0, 0, 0), quat=(1, 0, 0, 0), fric=1.0: ShapeSpec(
+            BOX, hs, pos, quat, friction=fric
+        )
+        links = self._arm_link_specs() + [
             LinkSpec(
                 "panda_leftfinger", "panda_hand", SLIDE, "panda_finger_joint1",
                 origin_pos=(0, 0, 0.0584), axis=(0, 1, 0), limit=(0.0, 0.04),

@@ -253,6 +253,10 @@ class BaseEnv(gym.Env):
         }
         self.scene.human_render_cameras = self._human_render_cameras
 
+    def _after_control_step(self):
+        """Task hook run after the physics substeps of each control step,
+        inside the fused jit (traced ops only)."""
+
     def _after_reconfigure(self, options: dict):
         pass
 
@@ -422,6 +426,10 @@ class BaseEnv(gym.Env):
         d, _ = jax.lax.scan(substep, scene.data, jnp.arange(n_sub))
         d = phys.forward_kinematics(model, d)
         scene.bind(d)
+        # post-control-step task hook (sapien_env.py _after_control_step);
+        # runs inside the fused jit — overrides mutate scene.data with traced
+        # ops only
+        self._after_control_step()
 
         info = self.get_info()
         obs = self.get_obs(info)

@@ -1,5 +1,5 @@
 from .push_cube import PushCubeEnv
-from .pick_cube import PickCubeEnv
+from .pick_cube import PickCubeEnv, PickCubeSO100Env, PickCubeWidowXAIEnv
 from .pull_cube import PullCubeEnv
 from .stack_cube import StackCubeEnv
 from .poke_cube import PokeCubeEnv

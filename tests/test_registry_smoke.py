@@ -1,7 +1,12 @@
-"""Whole-registry smoke test (reference test_gpu_envs.py:29-41 analog).
+"""Whole-registry smoke test + obs/control-mode matrix
+(reference test_gpu_envs.py:29-99 and tests/utils.py:21-46 analogs).
 
-Gated behind MS_TEST_ALL=1 because every env pays a first-compile cost on a
-fresh cache; the core suite smoke-tests representative envs instead.
+Every registered env is constructed and stepped 5x with random actions and
+must produce finite rewards and a sim-state dict. The obs-mode x
+control-mode matrix runs on a representative stationary env. First runs pay
+a per-env compile; the persistent compilation cache (conftest) makes
+repeats cheap. Set MS_TEST_SMOKE_CORE=1 to restrict to the 2-env core set
+(for quick local iteration).
 """
 import os
 
@@ -12,17 +17,24 @@ import pytest
 import maniskill_tpu.envs  # noqa: F401
 from maniskill_tpu.utils.registration import REGISTERED_ENVS, make
 
-EXTENDED = bool(os.environ.get("MS_TEST_ALL"))
+CORE_ONLY = bool(os.environ.get("MS_TEST_SMOKE_CORE"))
 SLOW_OR_HUGE = {"FrankaMoveBenchmark-v1", "FrankaPickCubeBenchmark-v1",
                 "CartpoleBalanceBenchmark-v1"}
+# ink bodies make the drawing envs compile slowly at full budget; the smoke
+# pass exercises the mechanism with a small budget
+SMALL_KWARGS = {
+    "TableTopFreeDraw-v1": dict(max_dots=8),
+    "DrawTriangle-v1": dict(max_dots=8),
+    "DrawSVG-v1": dict(max_dots=8),
+}
 
 ALL_IDS = sorted(set(REGISTERED_ENVS) - SLOW_OR_HUGE)
 CORE_IDS = ["StackCube-v1", "MS-HopperStand-v1"]
 
 
-@pytest.mark.parametrize("env_id", ALL_IDS if EXTENDED else CORE_IDS)
+@pytest.mark.parametrize("env_id", CORE_IDS if CORE_ONLY else ALL_IDS)
 def test_registry_env_steps(env_id):
-    env = make(env_id, num_envs=2)
+    env = make(env_id, num_envs=2, **SMALL_KWARGS.get(env_id, {}))
     base = env.unwrapped
     obs, info = env.reset(seed=0)
     for _ in range(5):
@@ -31,4 +43,53 @@ def test_registry_env_steps(env_id):
     assert bool(jnp.all(jnp.isfinite(rew))), f"{env_id} produced non-finite rewards"
     state = base.get_state_dict()
     assert state  # sim-state dict exists for checkpointing
+    env.close()
+
+
+OBS_MODES = ["state", "state_dict", "rgb", "rgb+depth+segmentation", "pointcloud"]
+CONTROL_MODES = [
+    "pd_joint_delta_pos",
+    "pd_joint_pos",
+    "pd_ee_delta_pose",
+    "pd_ee_delta_pos",
+]
+
+
+@pytest.mark.parametrize("obs_mode", OBS_MODES)
+def test_obs_mode_matrix(obs_mode):
+    env = make("PushCube-v1", num_envs=2, obs_mode=obs_mode)
+    obs, _ = env.reset(seed=0)
+    obs2, rew, term, trunc, info = env.step(env.unwrapped.action_space.sample())
+    if obs_mode == "state":
+        assert obs2.ndim == 2 and obs2.shape[0] == 2
+    elif obs_mode == "state_dict":
+        assert "agent" in obs2 and "extra" in obs2
+    elif obs_mode == "pointcloud":
+        pcd = obs2["pointcloud"]
+        assert "xyzw" in pcd and pcd["xyzw"].shape[0] == 2
+        assert pcd["xyzw"].shape[-1] == 4
+        assert "rgb" in pcd
+    else:
+        cam = obs2["sensor_data"]["base_camera"]
+        if "rgb" in obs_mode:
+            assert cam["rgb"].shape == (2, 128, 128, 3)
+            assert cam["rgb"].dtype == jnp.uint8
+        if "depth" in obs_mode:
+            # int16 millimeter depth (minimal-shader contract)
+            assert cam["depth"].dtype == jnp.int16
+        if "segmentation" in obs_mode:
+            assert cam["segmentation"].dtype == jnp.int16
+    env.close()
+
+
+@pytest.mark.parametrize("control_mode", CONTROL_MODES)
+def test_control_mode_matrix(control_mode):
+    env = make(
+        "PickCube-v1", num_envs=2, obs_mode="state", control_mode=control_mode
+    )
+    base = env.unwrapped
+    obs, _ = env.reset(seed=0)
+    for _ in range(3):
+        obs, rew, term, trunc, info = env.step(base.action_space.sample())
+    assert bool(jnp.all(jnp.isfinite(obs)))
     env.close()
