@@ -160,7 +160,9 @@ class BaseEnv(gym.Env):
         model = self.scene.finalize()
         # contact solver params from config
         self.scene.model = model.replace(
-            contact_slop=sc.contact_slop, baumgarte=sc.baumgarte
+            contact_slop=sc.contact_slop,
+            baumgarte=sc.baumgarte,
+            contact_margin=sc.contact_offset,
         )
         if getattr(self, "agent", None) is not None:
             self.agent._setup_controllers()

@@ -68,6 +68,30 @@ class ManiSkillScene:
 
         return MJCFLoader(self)
 
+    def create_drive(self, entity1, pose1, entity2, pose2,
+                     stiffness=(1e3, 1e2), damping=(1e2, 1e1),
+                     force_limit=(1e3, 1e3)):
+        """Body-body 6-dof drive between two actors/links (reference
+        scene.py:474-484 Drive.create_from_actors_or_links). entity1 may be
+        None for a world-anchored drive."""
+        from ..structs.drive import Drive
+
+        def _p7(p):
+            if p is None:
+                return np.array([0, 0, 0, 1, 0, 0, 0], np.float32)
+            a = np.asarray(p, np.float32).reshape(-1)
+            if a.shape[0] == 3:
+                a = np.concatenate([a, [1, 0, 0, 0]]).astype(np.float32)
+            return a
+
+        b1 = 0 if entity1 is None else entity1.body_id
+        b2 = entity2.body_id
+        did = self.mb.add_drive(
+            b1, _p7(pose1), b2, _p7(pose2),
+            stiffness=stiffness, damping=damping, force_limit=force_limit,
+        )
+        return Drive(self, did, b1, b2)
+
     def register_actor(self, actor: Actor):
         if actor.name in self.actors:
             raise ValueError(f"duplicate actor name {actor.name!r}")

@@ -126,8 +126,25 @@ class ModelBuilder:
         ]
         self.geoms: List[GeomDef] = []
         self.frames: List[FrameDef] = []
+        # body-body 6-dof drives: (body1, pose1(7), body2, pose2(7),
+        # stiffness(2), damping(2), force_limit(2))
+        self.drives: List[tuple] = []
         self.exclude_body_pairs: Set[Tuple[int, int]] = set()
         self._name_to_body: Dict[str, int] = {"world": 0}
+
+    def add_drive(self, body1, pose1, body2, pose2,
+                  stiffness=(1e3, 1e2), damping=(1e2, 1e1),
+                  force_limit=(1e3, 1e3)) -> int:
+        """Register a 6-dof spring-damper drive pulling a frame on body2
+        toward a frame on body1 (reference scene.create_drive analog)."""
+        self.drives.append((
+            int(body1), np.asarray(pose1, np.float32).reshape(7),
+            int(body2), np.asarray(pose2, np.float32).reshape(7),
+            np.asarray(stiffness, np.float32).reshape(2),
+            np.asarray(damping, np.float32).reshape(2),
+            np.asarray(force_limit, np.float32).reshape(2),
+        ))
+        return len(self.drives) - 1
 
     # ------------------------------------------------------------------
     def add_body(
@@ -406,6 +423,34 @@ class ModelBuilder:
             ),
             geom_friction=jnp.asarray([g.friction for g in col_geoms], jnp.float32),
             gravity=jnp.asarray(self.gravity, jnp.float32),
+            drive6_body1=(
+                np.array([d[0] for d in self.drives], np.int32)
+                if self.drives else None
+            ),
+            drive6_body2=(
+                np.array([d[2] for d in self.drives], np.int32)
+                if self.drives else None
+            ),
+            drive6_pose1=(
+                jnp.asarray(np.stack([d[1] for d in self.drives]))
+                if self.drives else None
+            ),
+            drive6_pose2=(
+                jnp.asarray(np.stack([d[3] for d in self.drives]))
+                if self.drives else None
+            ),
+            drive6_stiffness=(
+                jnp.asarray(np.stack([d[4] for d in self.drives]))
+                if self.drives else None
+            ),
+            drive6_damping=(
+                jnp.asarray(np.stack([d[5] for d in self.drives]))
+                if self.drives else None
+            ),
+            drive6_force_limit=(
+                jnp.asarray(np.stack([d[6] for d in self.drives]))
+                if self.drives else None
+            ),
             hull_verts=hull_verts,
             hull_dirs=hull_dirs,
             geom_hull=HArray(geom_hull),

@@ -30,6 +30,11 @@ Cand = Tuple[jax.Array, jax.Array, jax.Array]
 
 BAD_DEPTH = -1e6
 
+# speculative-contact margin: candidates within this separation stay live
+# (negative depth) so the solver keeps persistent rows + warm starts across
+# micro-separations. Must cover Model.contact_margin (types.py).
+MARGIN = 0.012
+
 
 def _to_local(p, gpos, gquat):
     return rc.quaternion_apply(rc.quaternion_conjugate(gquat), p - gpos)
@@ -223,7 +228,7 @@ def box_box(p1, q1, s1, p2, q2, s2) -> List[Cand]:
         for sy in (-1.0, 1.0)
         for sz in (-1.0, 1.0)
     ]
-    separated = sep < 0.0
+    separated = sep < -MARGIN
     # reference face = box owning the min-overlap axis; only the INCIDENT
     # box's corners generate contacts (avoids a doubled, Jacobi-divergent
     # manifold for face-face stacking). The incident box is selected
@@ -237,12 +242,12 @@ def box_box(p1, q1, s1, p2, q2, s2) -> List[Cand]:
         # containment — its distance is to the NEAREST face, which is wrong
         # for corners lying on lateral faces)
         pen2 = r1n - jnp.sum((corner2 - p1) * n, axis=-1)
-        d2 = jnp.where(dist2 > 1e-3, BAD_DEPTH, pen2)
+        d2 = jnp.where(dist2 > MARGIN, BAD_DEPTH, pen2)
 
         corner1 = p1 + rc.quaternion_apply(q1, s1 * c)
         dist1, _ = _box_sdf_local(_to_local(corner1, p2, q2), s2)
         pen1 = r2n + jnp.sum((corner1 - p2) * n, axis=-1)
-        d1 = jnp.where(dist1 > 1e-3, BAD_DEPTH, pen1)
+        d1 = jnp.where(dist1 > MARGIN, BAD_DEPTH, pen1)
 
         corner = jnp.where(ref_is_1[..., None], corner2, corner1)
         depth = jnp.where(separated, BAD_DEPTH, jnp.where(ref_is_1, d2, d1))
@@ -395,7 +400,7 @@ def _support_sat(pA, qA, vA, dA, rA, pB, qB, vB, dB, rB) -> List[Cand]:
     top_v = jnp.take_along_axis(
         verts_v, top_i[..., None].astype(jnp.int32).repeat(3, -1), axis=2
     )
-    separated = pen < 0.0
+    separated = pen < -MARGIN
     out = []
     for i in range(kk):
         d_i = jnp.where(separated, BAD_DEPTH, top_d[..., i])

@@ -220,14 +220,26 @@ def solve(
     diag_A = jnp.einsum("bvr,bvr->br", Jt, W)
     inv_diag = jnp.where(diag_A > 1e-9, 1.0 / jnp.maximum(diag_A, 1e-9), 0.0)
 
-    # velocity bias: push out at beta/h * depth, capped
-    bias_c = jnp.clip(
-        model.baumgarte / h * jnp.maximum(cdepth - model.contact_slop, 0.0),
-        0.0,
-        model.max_correction_vel,
+    # velocity bias: penetrating rows push out at beta/h * depth (capped);
+    # separated rows within the margin are SPECULATIVE — they may approach
+    # at up to gap/h (closing the gap this step) but not penetrate. This
+    # keeps rows (and their warm-started impulses) alive across the
+    # micro-separations of a squeezing grasp instead of chattering on/off.
+    bias_c = jnp.where(
+        cdepth >= 0.0,
+        jnp.clip(
+            model.baumgarte / h * jnp.maximum(cdepth - model.contact_slop, 0.0),
+            0.0,
+            model.max_correction_vel,
+        ),
+        cdepth / h,
     )
-    bias_l = jnp.clip(
-        model.baumgarte / h * jnp.maximum(limit_depth, 0.0), 0.0, model.max_correction_vel
+    bias_l = jnp.where(
+        limit_depth >= 0.0,
+        jnp.clip(
+            model.baumgarte / h * limit_depth, 0.0, model.max_correction_vel
+        ),
+        limit_depth / h,
     )
     target = jnp.zeros((B, C, 3), jnp.float32).at[..., 0].set(bias_c).reshape(B, C * 3)
     target = jnp.concatenate([target, bias_l], axis=1)  # (B, R)

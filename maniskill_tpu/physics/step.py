@@ -49,6 +49,12 @@ def step(model: Model, data: Data) -> Data:
     # matvecs opt back into bf16 explicitly (solver.py) where it is safe.
     with jax.default_matmul_precision("highest"):
         kin = forward_kinematics_cf(model, data.qpos, data.qvel)
+        if model.drive6_body1 is not None and len(model.drive6_body1):
+            from .drives import drive_wrenches
+
+            data = data.replace(
+                xfrc_applied=data.xfrc_applied + drive_wrenches(model, data, kin)
+            )
         Minv, qvel_pred, qacc = smooth_dynamics(model, data, kin)
         contact = collide(model, data, kin)
         qvel_new, contact = solve(model, data, Minv, qvel_pred, contact, kin)

@@ -189,7 +189,10 @@ class Model:
     contact_slop: float = struct.field(pytree_node=False, default=0.002)
     baumgarte: float = struct.field(pytree_node=False, default=0.2)
     max_correction_vel: float = struct.field(pytree_node=False, default=0.5)
-    contact_margin: float = struct.field(pytree_node=False, default=0.0)
+    # speculative-contact margin: rows stay live within this separation
+    # (solver allows approach up to the gap, never penetration); keeps the
+    # warm start across micro-separations (PhysX contact_offset analog)
+    contact_margin: float = struct.field(pytree_node=False, default=0.01)
     # top-K active-contact compaction (0 = disabled): the solver gathers the
     # K deepest candidate contacts per env and solves only those rows — the
     # candidate set is static and large, the ACTIVE set is small
@@ -202,6 +205,21 @@ class Model:
     # name maps (static metadata)
     body_names: Tuple[str, ...] = struct.field(pytree_node=False, default=())
     geom_names: Tuple[str, ...] = struct.field(pytree_node=False, default=())
+
+    # ---- body-body 6-dof drives (reference structs/drive.py analog) ----
+    # spring-damper wrenches pulling frame2 (on body2) toward frame1 (on
+    # body1) composed with a per-env target relative pose (Data.drive6_target)
+    drive6_body1: Optional[np.ndarray] = struct.field(
+        pytree_node=False, default=None
+    )  # (ND,) i32
+    drive6_body2: Optional[np.ndarray] = struct.field(
+        pytree_node=False, default=None
+    )  # (ND,) i32
+    drive6_pose1: Optional[jax.Array] = None  # (ND, 7) frame on body1
+    drive6_pose2: Optional[jax.Array] = None  # (ND, 7) frame on body2
+    drive6_stiffness: Optional[jax.Array] = None  # (ND, 2) [linear, angular]
+    drive6_damping: Optional[jax.Array] = None  # (ND, 2)
+    drive6_force_limit: Optional[jax.Array] = None  # (ND, 2)
 
     # ---- convex hull proxies (geom type HULL) ----
     # vertex clouds (local geom frame) padded to HULL_MAX_VERTS by repeating
@@ -255,6 +273,9 @@ class Data:
     cvel: jax.Array  # (B, nbody, 6) [v_origin(3), omega(3)], world
     qacc: jax.Array  # (B, nv) last computed acceleration (smooth)
     contact: Optional[Contact] = None
+    # per-env target relative pose for each body-body 6-dof drive
+    # (frame2 is driven toward frame1 ∘ target); (B, ND, 7)
+    drive6_target: Optional[jax.Array] = None
     # task-specific persistent per-env state (e.g. sticky reward flags);
     # registered by envs at load time, reset-masked like everything else
     extras: Dict[str, jax.Array] = struct.field(default_factory=dict)
@@ -285,6 +306,14 @@ def make_data(model: Model, batch_size: int, qpos0: Optional[np.ndarray] = None)
         cvel=jnp.zeros((B, model.nbody, 6), jnp.float32),
         qacc=z,
         contact=None,
+        drive6_target=(
+            None
+            if model.drive6_body1 is None
+            else jnp.broadcast_to(
+                jnp.asarray([0, 0, 0, 1, 0, 0, 0], jnp.float32),
+                (B, len(model.drive6_body1), 7),
+            )
+        ),
         extras={},
     )
     return data

@@ -17,6 +17,10 @@ class SceneConfig:
     solver_velocity_iterations: int = 1
     contact_slop: float = 0.002
     baumgarte: float = 0.2
+    # contacts within this separation keep live solver rows (speculative
+    # contacts; the PhysX contact_offset analog). Persistent rows keep the
+    # warm start across micro-separations — critical for grasp stability.
+    contact_offset: float = 0.01
 
 
 @dataclasses.dataclass

@@ -321,3 +321,36 @@ def test_crb_matches_dense_jacobian_form():
     M1, b1, M2, b2 = map(np.asarray, (M1, b1, M2, b2))
     assert np.abs(M1 - M2).max() / np.abs(M2).max() < 2e-5
     assert np.abs(b1 - b2).max() / max(np.abs(b2).max(), 1e-9) < 2e-4
+
+
+def test_body_drive_pulls_to_target():
+    """World-anchored 6-dof drive (structs/drive.py) drags a cube to a
+    target pose and holds it against gravity."""
+    from maniskill_tpu.envs.scene import ManiSkillScene
+
+    scene = ManiSkillScene(num_envs=2)
+    b = scene.create_actor_builder()
+    b.add_plane_collision()
+    b.build_static(name="ground")
+    bb = scene.create_actor_builder()
+    bb.add_box_collision(half_size=[0.02] * 3)
+    bb.set_initial_pose([0, 0, 0.02, 1, 0, 0, 0])
+    cube = bb.build(name="cube")
+    drive = scene.create_drive(
+        None, None, cube, None,
+        stiffness=(200.0, 5.0), damping=(20.0, 0.5), force_limit=(50.0, 5.0),
+    )
+    model = scene.finalize()
+    qpos0 = phys.default_qpos(model)
+    adr = int(np.asarray(model.body_q_adr)[cube.body_id])
+    qpos0[adr : adr + 7] = [0, 0, 0.02, 1, 0, 0, 0]
+    data = phys.make_data(model, 2)
+    data = data.replace(qpos=jnp.broadcast_to(jnp.asarray(qpos0), data.qpos.shape))
+    scene.bind(data)
+    drive.set_drive_target(jnp.asarray([0.2, 0.1, 0.3, 1, 0, 0, 0]))
+    d = n_steps(model, scene.data, 300)
+    np.testing.assert_allclose(
+        np.asarray(d.qpos[:, adr : adr + 2]), [[0.2, 0.1]] * 2, atol=0.01
+    )
+    assert abs(float(d.qpos[0, adr + 2]) - 0.3) < 0.02  # small gravity sag
+    assert float(jnp.linalg.norm(d.qvel)) < 0.01
