@@ -25,6 +25,20 @@ class PDBaseVelControllerConfig(PDJointVelControllerConfig):
 class PDBaseVelController(PDJointVelController):
     """Joints expected in order [root_x, root_y, root_yaw] (+ optional more)."""
 
+    ACTION_DIM = 3  # ego-centric [vx, vy, wz]
+
+    def _initialize_action_space(self):
+        import gymnasium as gym
+
+        n = self.ACTION_DIM
+        lo = np.broadcast_to(np.asarray(self.config.lower, np.float32), (n,))
+        hi = np.broadcast_to(np.asarray(self.config.upper, np.float32), (n,))
+        self._lo, self._hi = jnp.asarray(lo), jnp.asarray(hi)
+        if self.config.normalize_action:
+            self._action_space = gym.spaces.Box(-1.0, 1.0, (n,), np.float32)
+        else:
+            self._action_space = gym.spaces.Box(lo, hi, dtype=np.float32)
+
     def set_action(self, action: jax.Array):
         action = jnp.asarray(action, jnp.float32)
         if self.config.normalize_action:
@@ -51,12 +65,12 @@ class PDBaseForwardVelControllerConfig(PDJointVelControllerConfig):
 class PDBaseForwardVelController(PDBaseVelController):
     """Nonholonomic variant: action [v_forward, wz]."""
 
+    ACTION_DIM = 2
+
     def set_action(self, action: jax.Array):
         action = jnp.asarray(action, jnp.float32)
         if self.config.normalize_action:
-            action = self._clip_and_scale_action(
-                action, self._lo[..., :2], self._hi[..., :2]
-            )
+            action = self._clip_and_scale_action(action, self._lo, self._hi)
         yaw = self.scene.data.qpos[:, self.q_adrs[2]]
         vx = action[..., 0] * jnp.cos(yaw)
         vy = action[..., 0] * jnp.sin(yaw)

@@ -76,7 +76,14 @@ class BaseEnv(gym.Env):
         self.reconfiguration_freq = reconfiguration_freq or 0
         self._reconfig_counter = 0
 
-        if self.obs_mode not in self.SUPPORTED_OBS_MODES:
+        # arbitrary "+"-combos of visual modalities are valid obs modes
+        # (sapien_env.py:124-127 parity), e.g. "rgb+normal+albedo"
+        _known = {"rgb", "depth", "segmentation", "position", "normal",
+                  "albedo", "state"}
+        _parts = set(self.obs_mode.split("+"))
+        if self.obs_mode not in self.SUPPORTED_OBS_MODES and not (
+            _parts and _parts <= _known
+        ):
             raise ValueError(f"unsupported obs mode {self.obs_mode}")
         if self.reward_mode not in self.SUPPORTED_REWARD_MODES:
             raise ValueError(f"unsupported reward mode {self.reward_mode}")
@@ -489,6 +496,7 @@ class BaseEnv(gym.Env):
                 rgb=struct["rgb"], depth=struct["depth"],
                 segmentation=struct["segmentation"], position=struct["position"],
                 normal=struct.get("normal", False),
+                albedo=struct.get("albedo", False),
                 apply_texture_transforms=apply_texture_transforms,
                 hidden_actors=self._hidden_objects,
             )

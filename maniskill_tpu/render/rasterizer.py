@@ -170,6 +170,8 @@ def rasterize(
     width: int,
     face_mask: Optional[np.ndarray] = None,  # (F,) static visibility
     lights: Optional[List[dict]] = None,
+    want_normal: bool = False,
+    want_albedo: bool = False,
 ) -> Dict[str, jax.Array]:
     """Render color/depth/segmentation buffers for B views.
 
@@ -227,7 +229,11 @@ def rasterize(
 
     from .pallas_rasterizer import pallas_available, pallas_rasterize_tiles
 
-    if pallas_available(height, width, F) and os.environ.get("MS_PALLAS_RENDER", "1") == "1":
+    # normal/albedo ride the jnp shading tail (the "default" shader pack's
+    # extra float textures, render/shaders.py:89-105); the pallas in-kernel
+    # path covers the hot rgb/depth/seg contract
+    use_pallas = not (want_normal or want_albedo)
+    if use_pallas and pallas_available(height, width, F) and os.environ.get("MS_PALLAS_RENDER", "1") == "1":
         ok = (
             ffront.all(-1)
             & jnp.asarray(fmask_np)[None]
@@ -302,7 +308,8 @@ def rasterize(
         zbuf = jnp.where(better, zmin, zbuf)
         fbuf = jnp.where(better, amin, fbuf)
 
-    return _shade(mesh, world_verts, zbuf, fbuf, B, height, width, lights)
+    return _shade(mesh, world_verts, zbuf, fbuf, B, height, width, lights,
+                  want_normal=want_normal, want_albedo=want_albedo)
 
 
 def _face_rgb(mesh, world_verts, lights) -> jax.Array:
@@ -336,9 +343,11 @@ def _face_rgb(mesh, world_verts, lights) -> jax.Array:
     return jnp.clip(mesh.face_color[None] * shade, 0.0, 1.0)  # (B, F, 3)
 
 
-def _shade(mesh, world_verts, zbuf, fbuf, B, height, width, lights):
-    """Shading tail of the jnp path: flat color + segmentation from the
-    face-id buffer via one one-hot contraction."""
+def _shade(mesh, world_verts, zbuf, fbuf, B, height, width, lights,
+           want_normal=False, want_albedo=False):
+    """Shading tail of the jnp path: flat color + segmentation (+ optional
+    world-space normals and unlit albedo) from the face-id buffer via one
+    one-hot contraction."""
     background = fbuf < 0
     fidx = jnp.maximum(fbuf, 0)
     face_rgb = _face_rgb(mesh, world_verts, lights)
@@ -349,19 +358,34 @@ def _shade(mesh, world_verts, zbuf, fbuf, B, height, width, lights):
     # Color and segmentation share ONE one-hot by concatenating channels.
     F = face_rgb.shape[1]
     oh = jax.nn.one_hot(fidx.reshape(B, -1), F, dtype=face_rgb.dtype)
-    attr = jnp.concatenate(
-        [face_rgb, jnp.asarray(mesh.face_seg, jnp.float32)[None, :, None].repeat(B, 0)],
-        axis=-1,
-    )  # (B, F, 4)
-    pix = jnp.einsum("bpf,bfc->bpc", oh, attr).reshape(B, height, width, 4)
+    attrs = [
+        face_rgb,
+        jnp.asarray(mesh.face_seg, jnp.float32)[None, :, None].repeat(B, 0),
+    ]
+    if want_normal or want_albedo:
+        fv = np.asarray(mesh.faces)
+        v0 = world_verts[:, fv[:, 0]]
+        fn = jnp.cross(
+            world_verts[:, fv[:, 1]] - v0, world_verts[:, fv[:, 2]] - v0
+        )
+        fn = fn / jnp.maximum(jnp.linalg.norm(fn, axis=-1, keepdims=True), 1e-9)
+        attrs.append(fn)  # 3 channels
+        attrs.append(jnp.broadcast_to(mesh.face_color[None], (B, F, 3)))
+    attr = jnp.concatenate(attrs, axis=-1)  # (B, F, 4[+6])
+    C = attr.shape[-1]
+    pix = jnp.einsum("bpf,bfc->bpc", oh, attr).reshape(B, height, width, C)
     pix_rgb = jnp.where(background[..., None], 0.0, pix[..., :3])
     seg = jnp.where(background, 0, pix[..., 3].astype(jnp.int32))
 
     depth = jnp.where(background, 0.0, zbuf)
-    return dict(
+    out = dict(
         depth=depth,
         seg=seg,
         valid=~background,
         color=pix_rgb,
         dropped=jnp.zeros((), jnp.int32),
     )
+    if want_normal or want_albedo:
+        out["normal"] = jnp.where(background[..., None], 0.0, pix[..., 4:7])
+        out["albedo"] = jnp.where(background[..., None], 0.0, pix[..., 7:10])
+    return out

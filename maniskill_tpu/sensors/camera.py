@@ -121,7 +121,8 @@ class Camera:
             )
         return self._mesh_cache[exclude]
 
-    def capture(self, hidden_actors: Sequence = ()):
+    def capture(self, hidden_actors: Sequence = (), want_normal=False,
+                want_albedo=False):
         from ..physics.kinematics import geom_poses
 
         mesh = self._get_mesh(hidden_actors)
@@ -135,6 +136,8 @@ class Camera:
             self.config.height,
             self.config.width,
             lights=self.scene.lights,
+            want_normal=want_normal,
+            want_albedo=want_albedo,
         )
 
     def get_obs(
@@ -144,10 +147,13 @@ class Camera:
         segmentation: bool = False,
         position: bool = False,
         normal: bool = False,
+        albedo: bool = False,
         apply_texture_transforms: bool = True,
         hidden_actors: Sequence = (),
     ) -> Dict[str, jax.Array]:
-        mesh, buf = self.capture(hidden_actors)
+        mesh, buf = self.capture(
+            hidden_actors, want_normal=normal, want_albedo=albedo
+        )
         out = {}
         if rgb:
             out["rgb"] = (jnp.clip(buf["color"], 0, 1) * 255).astype(jnp.uint8)
@@ -168,6 +174,11 @@ class Camera:
             pos = jnp.stack([x, y, -z], axis=-1)  # OpenGL cam frame
             out["position"] = jnp.clip(pos * 1000.0, -32767, 32767).astype(jnp.int16)
             out["position_valid"] = buf["valid"]
+        if normal:
+            # world-space unit normals, float32 ("default" shader contract)
+            out["normal"] = buf["normal"]
+        if albedo:
+            out["albedo"] = (jnp.clip(buf["albedo"], 0, 1) * 255).astype(jnp.uint8)
         return out
 
     def get_params(self) -> Dict[str, jax.Array]:
