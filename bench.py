@@ -26,10 +26,11 @@ def main():
     from maniskill_tpu.utils.registration import make
 
     env_id = os.environ.get("BENCH_ENV_ID", "FrankaMoveBenchmark-v1")
+    obs_mode = os.environ.get("BENCH_OBS_MODE", "state")
     env = make(
         env_id,
         num_envs=num_envs,
-        obs_mode="state",
+        obs_mode=obs_mode,
         control_mode="pd_joint_delta_pos",
     )
     base = env.unwrapped
@@ -48,7 +49,7 @@ def main():
     dt = time.perf_counter() - t0
 
     steps_per_sec = num_envs * steps / dt
-    baseline = 330096.0
+    baseline = float(os.environ.get("BENCH_BASELINE", "330096.0"))
     print(
         json.dumps(
             dict(

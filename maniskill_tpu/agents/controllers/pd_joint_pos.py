@@ -110,7 +110,24 @@ class PDJointPosController(BaseController):
         # clamp into joint limits
         lims = self._joint_limits()
         target = jnp.clip(target, lims[:, 0], lims[:, 1])
+        if self.config.interpolate:
+            # per-sim-step linear interpolation from the current position to
+            # the commanded target (pd_joint_pos.py:95-101): stash the
+            # endpoints for before_simulation_step (same-trace values)
+            self._interp_start = self.scene.data.qpos[:, self.q_adrs]
+            self._interp_final = target
+            target = self._interp_start  # substep 0 applies the first step
         self._set_target(target)
+
+    def before_simulation_step(self, data, substep):
+        if not self.config.interpolate or not hasattr(self, "_interp_final"):
+            return data
+        n = getattr(self.scene, "sim_steps_per_control", 1)
+        frac = (jnp.asarray(substep, jnp.float32) + 1.0) / float(n)
+        t = self._interp_start + (self._interp_final - self._interp_start) * frac
+        return data.replace(
+            drive_target=data.drive_target.at[:, self.dof_adrs].set(t)
+        )
 
     def get_state(self):
         return {"target_qpos": self._target_qpos()}

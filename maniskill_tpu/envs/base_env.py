@@ -161,6 +161,7 @@ class BaseEnv(gym.Env):
             solver_iterations=sc.solver_position_iterations,
             gravity=sc.gravity,
         )
+        self.scene.sim_steps_per_control = self.sim_config.sim_steps_per_control
         self._load_agent(options)
         self._load_scene(options)
         self._load_lighting(options)

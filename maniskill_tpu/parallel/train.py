@@ -117,9 +117,13 @@ def make_train_step(env, config: PPOConfig = PPOConfig()):
             else:
                 truncated = (elapsed >= max_steps) & ~terminated
                 done = terminated | truncated
-            # bootstrap truncated episodes with V(s') (CleanRL final_obs handling)
+            # bootstrap EVERY episode boundary with V(final_obs) — the
+            # reference bootstraps terminated episodes too (ppo_fast.py:233
+            # final_values), which removes the perverse incentive to avoid
+            # success-termination (ending early would otherwise forfeit the
+            # discounted stream of dense hold-reward)
             _, _, v_final = model.apply(params, new_obs)
-            reward = reward + config.gamma * v_final * truncated.astype(jnp.float32)
+            reward = reward + config.gamma * v_final * done.astype(jnp.float32)
             # SAME_STEP autoreset (vector/wrappers/gymnasium.py:127-184)
             keys = jax.random.split(rkey, obs.shape[0])
             reset_data, reset_obs = reset_fn(new_data, done, keys)

@@ -354,3 +354,55 @@ def test_body_drive_pulls_to_target():
     )
     assert abs(float(d.qpos[0, adr + 2]) - 0.3) < 0.02  # small gravity sag
     assert float(jnp.linalg.norm(d.qvel)) < 0.01
+
+
+def test_two_finger_squeeze_lift():
+    """The grasping acid test (SURVEY §7.3 #1): a 3-dof toy gripper
+    (vertical carriage + two prismatic fingers) squeezes a cube and lifts
+    it; the cube must track the carriage without slipping."""
+    mb = ModelBuilder(timestep=0.005)
+    mb.add_geom(0, PLANE, [0, 0, 0], friction=1.0)
+    carriage = mb.add_body(
+        "carriage", jnt_type=2, jnt_axis=(0, 0, 1), pos=(0, 0, 0.08),
+        mass=0.5, inertia=(1e-3, 1e-3, 1e-3), limit=(-0.05, 0.5),
+    )
+    f1 = mb.add_body(
+        "f1", parent=carriage, jnt_type=2, jnt_axis=(0, 1, 0),
+        pos=(0, 0, 0), mass=0.1, inertia=(1e-4, 1e-4, 1e-4),
+        limit=(0.0, 0.05),
+    )
+    f2 = mb.add_body(
+        "f2", parent=carriage, jnt_type=2, jnt_axis=(0, -1, 0),
+        pos=(0, 0, 0), mass=0.1, inertia=(1e-4, 1e-4, 1e-4),
+        limit=(0.0, 0.05),
+    )
+    # finger pads: thin boxes facing each other across y, start 5cm apart
+    mb.add_geom(f1, BOX, [0.02, 0.005, 0.03], pos=(0, -0.05, 0), friction=2.0)
+    mb.add_geom(f2, BOX, [0.02, 0.005, 0.03], pos=(0, 0.05, 0), friction=2.0)
+    cube = mb.add_body("cube", jnt_type=FREE, mass=0.064)
+    mb.add_geom(cube, BOX, [0.02, 0.02, 0.02], friction=1.0)
+    model = mb.finalize()
+    model = model.replace(
+        drive_kp=jnp.array([200.0, 300.0, 300.0] + [0.0] * 6),
+        drive_kd=jnp.array([40.0, 30.0, 30.0] + [0.0] * 6),
+        drive_force_limit=jnp.array([100.0, 30.0, 30.0] + [0.0] * 6),
+    )
+    data = make_data(model, 2)
+    # cube between the fingers at carriage height
+    data = data.replace(
+        qpos=data.qpos.at[:, 3:6].set(jnp.asarray([0.0, 0.0, 0.08]))
+    )
+    # squeeze: finger targets closed (0.045 m each -> pads press the cube)
+    data = data.replace(
+        drive_target=data.drive_target.at[:, 1:3].set(0.045)
+    )
+    data = n_steps(model, data, 100)
+    cube_z0 = float(data.qpos[0, 5])
+    # lift: carriage up 0.2 m
+    data = data.replace(drive_target=data.drive_target.at[:, 0].set(0.2))
+    data = n_steps(model, data, 300)
+    carriage_z = float(data.qpos[0, 0])
+    cube_z = float(data.qpos[0, 5])
+    assert carriage_z > 0.15, carriage_z
+    # the cube must ride with the carriage (no slip through the squeeze)
+    assert cube_z - cube_z0 > 0.8 * (carriage_z - 0.0), (cube_z0, cube_z, carriage_z)

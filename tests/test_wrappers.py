@@ -73,7 +73,9 @@ def test_record_episode(tmp_path):
         assert traj["env_states"]["actors"]["cube"].shape[0] == 5  # init + 4 steps
     with open(tmp_path / "test_traj.json") as f:
         meta = json.load(f)
-    assert len(meta["episodes"]) == 1
+    # per-episode schema: one entry per env (record.py splits episodes
+    # per-env, the reference RecordEpisode's GPU-sim behavior)
+    assert len(meta["episodes"]) == 2
     env.close()
 
 
