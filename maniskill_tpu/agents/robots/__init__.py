@@ -16,3 +16,4 @@ from .xarm6.xarm6_nogripper import XArm6NoGripper
 from .ur_e.ur_10e import UR10e
 from .widowxai.widowxai import WidowXAI
 from .koch.koch import Koch
+from .xarm.xarm7 import XArm7

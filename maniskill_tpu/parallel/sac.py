@@ -90,7 +90,10 @@ def _sample_action(actor, params, obs, key):
     return act, jnp.sum(logp, axis=-1)
 
 
-def make_sac_step(env, config: SACConfig = SACConfig()):
+def make_sac_step(env, config: SACConfig = SACConfig(), demos=None):
+    """demos: optional dict(obs, act, rew, next_obs, term) of jnp arrays —
+    each update batch becomes a 50/50 mix of online replay and demo
+    transitions (the RLPD recipe, reference examples/baselines/rlpd)."""
     base = env.unwrapped
     num_envs = base.num_envs
     act_dim = int(np.prod(base.single_action_space.shape))
@@ -195,7 +198,8 @@ def make_sac_step(env, config: SACConfig = SACConfig()):
     def update_once(state: SACState, key):
         k1, k2, k3, k4 = jax.random.split(key, 4)
         n = state.filled * num_envs
-        idx = jax.random.randint(k1, (config.batch_size,), 0, n)
+        online_bs = config.batch_size // 2 if demos is not None else config.batch_size
+        idx = jax.random.randint(k1, (online_bs,), 0, n)
         s, b = idx // num_envs, idx % num_envs
         batch = (
             state.buf_obs[s, b],
@@ -204,6 +208,21 @@ def make_sac_step(env, config: SACConfig = SACConfig()):
             state.buf_next_obs[s, b],
             state.buf_term[s, b].astype(jnp.float32),
         )
+        if demos is not None:
+            dk, k1 = jax.random.split(k1)
+            di = jax.random.randint(
+                dk, (config.batch_size - online_bs,), 0, demos["obs"].shape[0]
+            )
+            batch = tuple(
+                jnp.concatenate([x, d[di]], axis=0)
+                for x, d in zip(
+                    batch,
+                    (
+                        demos["obs"], demos["act"], demos["rew"],
+                        demos["next_obs"], demos["term"].astype(jnp.float32),
+                    ),
+                )
+            )
         ql, qg = jax.value_and_grad(q_loss)(state.q_params, state, batch, k2)
         qup, q_opt = q_tx.update(qg, state.q_opt)
         q_params = optax.apply_updates(state.q_params, qup)
