@@ -594,6 +594,31 @@ class BaseEnv(gym.Env):
             return _jnp.concatenate(
                 [self.render_rgb_array(), self.render_sensors()], axis=2
             )
+        if self.render_mode == "human":
+            # the reference opens a Vulkan viewer (sapien_utils.py:442);
+            # headless TPU hosts get a matplotlib window when a display is
+            # available, else the frame is returned (viewer-less parity)
+            frame = self.render_rgb_array()
+            try:
+                import matplotlib
+
+                if matplotlib.get_backend().lower() != "agg":
+                    import matplotlib.pyplot as plt
+
+                    if not hasattr(self, "_viewer_fig"):
+                        plt.ion()
+                        self._viewer_fig, self._viewer_ax = plt.subplots()
+                        self._viewer_im = self._viewer_ax.imshow(
+                            np.asarray(frame[0])
+                        )
+                        self._viewer_ax.axis("off")
+                    else:
+                        self._viewer_im.set_data(np.asarray(frame[0]))
+                    self._viewer_fig.canvas.draw_idle()
+                    plt.pause(0.001)
+            except Exception:
+                pass
+            return frame
         raise NotImplementedError(self.render_mode)
 
     def render_rgb_array(self):
