@@ -82,3 +82,16 @@ class SceneManipulationEnv(BaseEnv):
 
     def _get_obs_extra(self, info: dict):
         return dict()
+
+
+# per-scene-builder variants, creatable by id alone (the reference's
+# envs/scenes/__init__.py registration loop)
+from .... import scene_builder as _sb  # noqa: E402
+from ....scene_builder.ai2thor import variants as _thor  # noqa: F401, E402
+
+for _k in list(REGISTERED_SCENE_BUILDERS):
+    register_env(
+        f"{_k}_SceneManipulation-v1",
+        max_episode_steps=200,
+        scene_builder_cls=_k,
+    )(SceneManipulationEnv)
