@@ -118,3 +118,34 @@ def test_human_render_camera():
     img = env.render()
     assert img.shape == (2, 64, 64, 3)
     env.close()
+
+
+def test_normal_albedo_modalities():
+    """normal/albedo extra textures ("default" shader pack analog)."""
+    import jax.numpy as jnp
+
+    env = make("PushCube-v1", num_envs=2, obs_mode="rgb+normal+albedo")
+    obs, _ = env.reset(seed=0)
+    cam = obs["sensor_data"]["base_camera"]
+    assert cam["normal"].shape == (2, 128, 128, 3)
+    assert cam["normal"].dtype == jnp.float32
+    # foreground normals are unit length
+    n = np.linalg.norm(np.asarray(cam["normal"]), axis=-1)
+    fg = n > 0.1
+    assert fg.any()
+    np.testing.assert_allclose(n[fg], 1.0, atol=1e-3)
+    assert cam["albedo"].shape == (2, 128, 128, 3)
+    assert cam["albedo"].dtype == jnp.uint8
+    env.close()
+
+
+def test_heterogeneous_hull_rendering():
+    """Per-env hull objects produce per-env images (PickSingleYCB path)."""
+    env = make("PickSingleYCB-v1", num_envs=2, obs_mode="rgb")
+    obs, _ = env.reset(seed=0)
+    rgb = np.asarray(obs["sensor_data"]["base_camera"]["rgb"])
+    assert rgb.shape == (2, 128, 128, 3)
+    base = env.unwrapped
+    if base.model_ids[0] != base.model_ids[1]:
+        assert (rgb[0] != rgb[1]).any()
+    env.close()
