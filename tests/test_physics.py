@@ -406,3 +406,25 @@ def test_two_finger_squeeze_lift():
     assert carriage_z > 0.15, carriage_z
     # the cube must ride with the carriage (no slip through the squeeze)
     assert cube_z - cube_z0 > 0.8 * (carriage_z - 0.0), (cube_z0, cube_z, carriage_z)
+
+
+def test_friction_cone_accuracy():
+    """Slip threshold matches the analytic friction cone: a box with mu=0.3
+    holds on a 15-degree incline (tan 15 = 0.27 < 0.3) and slides on a
+    25-degree incline (tan 25 = 0.47 > 0.3)."""
+    for deg, should_hold in [(15, True), (25, False)]:
+        mb = ModelBuilder(timestep=0.005)
+        ang = np.deg2rad(deg)
+        quat = np.array([np.cos(ang / 2), 0, np.sin(ang / 2), 0])
+        mb.add_geom(0, PLANE, [0, 0, 0], quat=quat, friction=0.3)
+        b = mb.add_body("box", jnt_type=FREE, mass=0.2)
+        mb.add_geom(b, BOX, [0.02, 0.02, 0.02], friction=0.3)
+        model = mb.finalize()
+        data = make_data(model, 1)
+        data = data.replace(
+            qpos=data.qpos.at[:, :3].set(jnp.array([0.0, 0.0, 0.021]))
+            .at[:, 3:7].set(jnp.asarray(quat, jnp.float32))
+        )
+        data = n_steps(model, data, 200)
+        slid = float(jnp.linalg.norm(data.qpos[0, :2])) > 0.03
+        assert slid != should_hold, (deg, float(jnp.linalg.norm(data.qpos[0, :2])))
