@@ -99,7 +99,7 @@ class _ActionConverter:
         action = np.asarray(action, np.float32)
         if action.ndim == 1:
             action = action[None]
-        n_arm = len(self.arm.joint_indices) if self.arm is not None else action.shape[-1]
+        n_arm = len(self.arm.joints) if self.arm is not None else action.shape[-1]
         q_target = jnp.asarray(action[..., :n_arm])
         grip = action[..., n_arm:]
 
@@ -111,7 +111,11 @@ class _ActionConverter:
         elif self.target_mode in ("pd_ee_delta_pos", "pd_ee_delta_pose"):
             ee = self.sub["arm"]
             # FK of the commanded qpos -> desired EE pose
-            tgt_p, tgt_q = ee.kinematics.forward(q_target)
+            ee._setup_kinematics()
+            kin = ee.kinematics
+            data_fk = kin._fk(q_target)
+            eb = kin.end_link.body_id
+            tgt_p, tgt_q = data_fk.xpos[:, eb], data_fk.xquat[:, eb]
             cur = self.agent.tcp_pose
             dp = np.asarray(tgt_p - cur.p)
             scale = abs(ee.config.pos_lower)
