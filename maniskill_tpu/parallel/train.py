@@ -216,9 +216,14 @@ def make_train_step(env, config: PPOConfig = PPOConfig()):
         mean_reward = t_rew.mean()
         flat_params = jax.tree_util.tree_leaves(params)
         bad_params = sum(jnp.sum(~jnp.isfinite(p)) for p in flat_params)
+        done_ct = jnp.maximum(t_done.sum(), 1)
         metrics = dict(
             loss=losses.mean(),
             mean_reward=mean_reward,
+            # fraction of finished episodes that ended by termination
+            # (success|fail) rather than truncation — for success-only tasks
+            # this IS the success rate
+            ep_success=t_term.sum() / done_ct,
             bad_params=bad_params,
             bad_rewards=jnp.sum(~jnp.isfinite(t_rew)),
             term_frac=t_term.mean(),
