@@ -17,3 +17,4 @@ from .ur_e.ur_10e import UR10e
 from .widowxai.widowxai import WidowXAI
 from .koch.koch import Koch
 from .xarm.xarm7 import XArm7
+from .floating_robotiq.floating_robotiq import FloatingRobotiq2F85Gripper
