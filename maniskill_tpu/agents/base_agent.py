@@ -236,6 +236,28 @@ class MultiAgent:
             a._setup_controllers()
 
     @property
+    def controller(self):
+        """Fan-out view over the per-agent controllers (reset/get/set state),
+        so env code can treat MultiAgent like a single agent."""
+
+        class _FanOut:
+            def __init__(self, agents):
+                self._agents = agents
+
+            def reset(self):
+                for a in self._agents:
+                    a.controller.reset()
+
+            def get_state(self):
+                return {a.name: a.controller.get_state() for a in self._agents}
+
+            def set_state(self, state):
+                for a in self._agents:
+                    a.controller.set_state(state.get(a.name, {}))
+
+        return _FanOut(self.agents)
+
+    @property
     def robot(self):
         return self.agents[0].robot
 

@@ -89,6 +89,18 @@ class SceneMesh:
                     verts_b.append((voff, v))
                     v0 = v[0]
                     v = v0  # placeholder row in the shared table
+            elif geom_size.ndim == 3:
+                # heterogeneous per-env primitive sizes (scene
+                # set_per_env_geom_sizes): same topology, per-env verts
+                sizes = geom_size[:, g]
+                v, f = geom_mesh(gdef.type, sizes[0])
+                if not (sizes == sizes[0]).all():
+                    vb = np.stack(
+                        [geom_mesh(gdef.type, s)[0] for s in sizes]
+                    )  # (B, V, 3)
+                    if verts_b is None:
+                        verts_b = []
+                    verts_b.append((voff, vb))
             else:
                 v, f = geom_mesh(gdef.type, geom_size[g])
             verts_l.append(v)

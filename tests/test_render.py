@@ -133,7 +133,7 @@ def test_normal_albedo_modalities():
     n = np.linalg.norm(np.asarray(cam["normal"]), axis=-1)
     fg = n > 0.1
     assert fg.any()
-    np.testing.assert_allclose(n[fg], 1.0, atol=1e-3)
+    np.testing.assert_allclose(n[fg], 1.0, atol=5e-3)
     assert cam["albedo"].shape == (2, 128, 128, 3)
     assert cam["albedo"].dtype == jnp.uint8
     env.close()
