@@ -5,16 +5,20 @@ Mirrors the reference's benchmark methodology
 pd_joint_delta_pos control) and prints ONE JSON line with steps/sec vs the
 reference's RTX-4090 baseline (BASELINE.md: FrankaMoveBenchmark-v1 @ 4096
 envs = 330,096 steps/s).
+
+The measurement runs in a child process so a wedged accelerator client can be
+retried with a fresh backend; the parent never imports jax.
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
-import numpy as np
+_CHILD_FLAG = "MS_BENCH_CHILD"
 
 
-def main():
+def measure():
     # default matches the baseline row's config (BASELINE.md: FrankaMove @4096)
     num_envs = int(os.environ.get("BENCH_NUM_ENVS", "4096"))
     steps = int(os.environ.get("BENCH_STEPS", "100"))
@@ -60,6 +64,45 @@ def main():
             )
         )
     )
+
+
+def main():
+    if os.environ.get(_CHILD_FLAG):
+        measure()
+        return
+
+    env = dict(os.environ)
+    env[_CHILD_FLAG] = "1"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    attempts = int(os.environ.get("BENCH_RETRIES", "3"))
+    last_err = ""
+    for attempt in range(attempts):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=int(os.environ.get("BENCH_TIMEOUT", "3000")),
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                parsed = json.loads(line)
+            except (json.JSONDecodeError, ValueError):
+                continue
+            if isinstance(parsed, dict) and "metric" in parsed:
+                print(line)
+                return
+        last_err = (proc.stderr or proc.stdout or "").strip()[-2000:]
+        print(
+            f"bench attempt {attempt + 1}/{attempts} failed (rc={proc.returncode}); "
+            "retrying with a fresh backend",
+            file=sys.stderr,
+        )
+        if last_err:
+            print(last_err, file=sys.stderr)
+        time.sleep(15 * (attempt + 1))
+    print(f"bench failed after {attempts} attempts", file=sys.stderr)
+    sys.exit(1)
 
 
 if __name__ == "__main__":

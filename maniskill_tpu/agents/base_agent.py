@@ -127,10 +127,21 @@ class BaseAgent:
             import numpy as _np
             import jax.numpy as _jnp
 
+            from ..physics.types import HArray
+
             m = self.scene.model
-            gc = _np.asarray(m.body_gravcomp).copy()
+            # read/update the host mirror — never pull the device array
+            # during scene construction
+            src = (
+                m.host_body_gravcomp
+                if m.host_body_gravcomp is not None
+                else m.body_gravcomp
+            )
+            gc = _np.asarray(src, _np.float32).copy()
             gc[[l.body_id for l in self.robot.links]] = 1.0
-            self.scene.model = m.replace(body_gravcomp=_jnp.asarray(gc))
+            self.scene.model = m.replace(
+                body_gravcomp=_jnp.asarray(gc), host_body_gravcomp=HArray(gc)
+            )
         self.controllers[control_mode] = controller
         self.controller = controller
         self.control_mode = control_mode

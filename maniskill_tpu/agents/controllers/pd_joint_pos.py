@@ -56,16 +56,18 @@ class PDJointPosController(BaseController):
             else:
                 lims = self._joint_limits()
                 lo, hi = lims[:, 0], lims[:, 1]
-        self._lo, self._hi = jnp.asarray(lo), jnp.asarray(hi)
+        # host numpy: action-space limits are trace-time constants; never
+        # touch the device during controller construction
+        self._lo, self._hi = np.asarray(lo), np.asarray(hi)
         if self.config.normalize_action:
             self._action_space = gym.spaces.Box(-1.0, 1.0, (n,), np.float32)
         else:
             self._action_space = gym.spaces.Box(lo, hi, dtype=np.float32)
 
     def _joint_limits(self) -> np.ndarray:
-        lims = np.stack(
-            [np.asarray(self.scene.model.dof_limit)[j.dof_adr] for j in self.joints]
-        )
+        m = self.scene.model
+        src = m.host_dof_limit if m.host_dof_limit is not None else m.dof_limit
+        lims = np.stack([np.asarray(src)[j.dof_adr] for j in self.joints])
         return np.clip(lims, -1e4, 1e4).astype(np.float32)
 
     def set_drive_property(self):
@@ -155,9 +157,8 @@ class PDJointPosMimicController(PDJointPosController):
         # action dim = number of leader joints (typically 1, e.g. gripper)
         super()._initialize_action_space()
         n_leaders = 1
-        lo = np.asarray(self._lo)[:n_leaders]
-        hi = np.asarray(self._hi)[:n_leaders]
-        self._lo, self._hi = jnp.asarray(lo), jnp.asarray(hi)
+        self._lo = np.asarray(self._lo)[:n_leaders]
+        self._hi = np.asarray(self._hi)[:n_leaders]
         if self.config.normalize_action:
             self._action_space = gym.spaces.Box(-1.0, 1.0, (n_leaders,), np.float32)
         else:

@@ -51,7 +51,8 @@ class ActorBuilder:
         self.collision_groups: Tuple[int, int] = (1, 1)  # contype, conaffinity
 
     # -- shape adders ---------------------------------------------------
-    def _add(self, kind, gtype, size, pose, density, friction, color):
+    def _add(self, kind, gtype, size, pose, density, friction, color,
+             restitution=None):
         rec = dict(
             type=gtype,
             size=np.asarray(size, np.float64),
@@ -59,24 +60,25 @@ class ActorBuilder:
             density=density,
             friction=friction,
             color=color,
+            restitution=restitution,  # None -> scene default material
         )
         (self.collisions if kind == "c" else self.visuals).append(rec)
         return self
 
-    def add_box_collision(self, pose=None, half_size=(0.1, 0.1, 0.1), density=1000.0, friction=0.3):
-        return self._add("c", BOX, half_size, pose, density, friction, None)
+    def add_box_collision(self, pose=None, half_size=(0.1, 0.1, 0.1), density=1000.0, friction=0.3, restitution=None):
+        return self._add("c", BOX, half_size, pose, density, friction, None, restitution)
 
-    def add_sphere_collision(self, pose=None, radius=0.1, density=1000.0, friction=0.3):
-        return self._add("c", SPHERE, [radius, 0, 0], pose, density, friction, None)
+    def add_sphere_collision(self, pose=None, radius=0.1, density=1000.0, friction=0.3, restitution=None):
+        return self._add("c", SPHERE, [radius, 0, 0], pose, density, friction, None, restitution)
 
-    def add_capsule_collision(self, pose=None, radius=0.1, half_length=0.1, density=1000.0, friction=0.3):
-        return self._add("c", CAPSULE, [radius, half_length, 0], pose, density, friction, None)
+    def add_capsule_collision(self, pose=None, radius=0.1, half_length=0.1, density=1000.0, friction=0.3, restitution=None):
+        return self._add("c", CAPSULE, [radius, half_length, 0], pose, density, friction, None, restitution)
 
-    def add_cylinder_collision(self, pose=None, radius=0.1, half_length=0.1, density=1000.0, friction=0.3):
-        return self._add("c", CYLINDER, [radius, half_length, 0], pose, density, friction, None)
+    def add_cylinder_collision(self, pose=None, radius=0.1, half_length=0.1, density=1000.0, friction=0.3, restitution=None):
+        return self._add("c", CYLINDER, [radius, half_length, 0], pose, density, friction, None, restitution)
 
-    def add_plane_collision(self, pose=None, friction=0.3):
-        return self._add("c", PLANE, [0, 0, 0], pose, 0.0, friction, None)
+    def add_plane_collision(self, pose=None, friction=0.3, restitution=None):
+        return self._add("c", PLANE, [0, 0, 0], pose, 0.0, friction, None, restitution)
 
     def add_box_visual(self, pose=None, half_size=(0.1, 0.1, 0.1), material=None, color=None):
         return self._add("v", BOX, half_size, pose, 0.0, 0.0, _color(material, color))
@@ -222,6 +224,11 @@ class ActorBuilder:
                 pos=gpose[:3],
                 quat=gpose[3:],
                 friction=c["friction"],
+                restitution=(
+                    c.get("restitution")
+                    if c.get("restitution") is not None
+                    else getattr(self.scene, "default_restitution", 0.0)
+                ),
                 contype=contype,
                 conaffinity=conaffinity,
                 name=f"{name}_col_{len(mb.geoms)}",

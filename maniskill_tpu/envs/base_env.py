@@ -162,6 +162,12 @@ class BaseEnv(gym.Env):
             gravity=sc.gravity,
         )
         self.scene.sim_steps_per_control = self.sim_config.sim_steps_per_control
+        # scene-wide default material (reference physx.set_default_material,
+        # sapien_env.py:267-275): builders pick this up for shapes that don't
+        # override restitution
+        self.scene.default_restitution = (
+            self.sim_config.default_materials_config.restitution
+        )
         self._load_agent(options)
         self._load_scene(options)
         self._load_lighting(options)
@@ -171,6 +177,7 @@ class BaseEnv(gym.Env):
             contact_slop=sc.contact_slop,
             baumgarte=sc.baumgarte,
             contact_margin=sc.contact_offset,
+            bounce_threshold=sc.bounce_threshold,
         )
         if getattr(self, "agent", None) is not None:
             self.agent._setup_controllers()
@@ -294,19 +301,12 @@ class BaseEnv(gym.Env):
         else:
             mask[np.asarray(env_idx)] = True
 
-        reconfigure = options.get("reconfigure", False)
-        if self.reconfiguration_freq > 0 and env_idx is None:
-            self._reconfig_counter += 1
-            if self._reconfig_counter >= self.reconfiguration_freq:
-                reconfigure = True
-                self._reconfig_counter = 0
-        if reconfigure:
-            self._reconfigure(options)
-
         # per-env episode seeds (two-level RNG, sapien_env.py:980-1016);
-        # an explicit seed list/array sets the episode seeds DIRECTLY so
-        # trajectory replay reproduces episodes (reference reset-seed-list
-        # semantics)
+        # drawn BEFORE reconfigure so tasks that re-randomize geometry at
+        # reconfiguration (PegInsertionSide, reference :76-83) sample it from
+        # the fresh episode RNG. An explicit seed list/array sets the episode
+        # seeds DIRECTLY so trajectory replay reproduces episodes (reference
+        # reset-seed-list semantics)
         if isinstance(seed, (list, tuple, np.ndarray)):
             explicit = np.asarray(seed, np.int64).reshape(-1)
             if len(explicit) == int(mask.sum()):
@@ -323,6 +323,16 @@ class BaseEnv(gym.Env):
         else:
             new_seeds = self._main_rng.randint(0, 2**31, size=int(mask.sum()))
             self._episode_seeds[mask] = new_seeds
+
+        reconfigure = options.get("reconfigure", False)
+        if self.reconfiguration_freq > 0 and env_idx is None:
+            self._reconfig_counter += 1
+            if self._reconfig_counter >= self.reconfiguration_freq:
+                reconfigure = True
+                self._reconfig_counter = 0
+        if reconfigure:
+            self._reconfigure(options)
+
         keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(self._episode_seeds))
 
         data = self.scene.data if self.scene.data is not None else self._data0

@@ -133,6 +133,20 @@ class ManiSkillScene:
     def finalize(self):
         """Compile builders to the flat Model and wire view indices."""
         self.model = self.mb.finalize()
+        # host mirrors of build-time geometry (render mesh construction must
+        # never read device arrays — see physics/types.py host_* fields)
+        geoms = self.mb.geoms
+        self.host_geom_size = (
+            np.stack([np.asarray(g.size, np.float32) for g in geoms])
+            if geoms
+            else np.zeros((0, 3), np.float32)
+        )
+        from ..physics.types import HULL as _HULL
+
+        hulls = [
+            np.asarray(g.hull, np.float32) for g in geoms if g.type == _HULL
+        ]
+        self.host_hull_verts = np.stack(hulls) if hulls else None
         for actor in self.actors.values():
             if actor.body_type != STATIC:
                 actor._q_adr = int(self.model.body_q_adr[actor.body_id])
@@ -180,10 +194,16 @@ class ManiSkillScene:
         gs = m.geom_size
         if gs.ndim == 2:
             gs = jnp.broadcast_to(gs, (self.num_envs,) + gs.shape)
-        sizes = jnp.asarray(sizes, jnp.float32)
-        if sizes.ndim == 2:
-            sizes = sizes[:, None, :]
+        sizes_np = np.asarray(sizes, np.float32)  # pass host arrays here
+        if sizes_np.ndim == 2:
+            sizes_np = sizes_np[:, None, :]
+        sizes = jnp.asarray(sizes_np)
         self.model = m.replace(geom_size=gs.at[:, gids].set(sizes))
+        hs = self.host_geom_size
+        if hs.ndim == 2:
+            hs = np.broadcast_to(hs, (self.num_envs,) + hs.shape).copy()
+        hs[:, gids] = sizes_np
+        self.host_geom_size = hs
 
     def set_per_env_hulls(self, actor, hulls, dirs=None):
         """Per-env convex hull geometry for one actor (heterogeneous objects,
@@ -203,10 +223,19 @@ class ManiSkillScene:
             g for g in actor.geom_ids if int(np.asarray(m.geom_hull)[g]) >= 0
         ]
         hids = np.asarray(m.geom_hull)[gids]
-        hulls = jnp.asarray(hulls, jnp.float32)
+        hulls_np = np.asarray(hulls, np.float32)  # pass host arrays here
+        hulls = jnp.asarray(hulls_np)
         assert hulls.shape[1] == len(hids), (hulls.shape, len(hids))
+        hvh = self.host_hull_verts
+        if hvh is not None:
+            if hvh.ndim == 3:
+                hvh = np.broadcast_to(
+                    hvh, (self.num_envs,) + hvh.shape
+                ).copy()
+            hvh[:, hids] = hulls_np
+            self.host_hull_verts = hvh
         if dirs is None:
-            hv = np.asarray(hulls)
+            hv = hulls_np
             dirs = np.stack(
                 [
                     np.stack([hull_face_dirs(hv[b, k]) for k in range(hv.shape[1])])

@@ -130,7 +130,11 @@ class AntEnv(BaseEnv):
         self.ground = build_ground(self.scene, friction=1.5)
 
     def _after_reconfigure(self, options: dict):
-        masses = np.asarray(self.scene.model.body_mass, np.float32)
+        m = self.scene.model
+        masses = np.asarray(
+            m.host_body_mass if m.host_body_mass is not None else m.body_mass,
+            np.float32,
+        )
         self._link_ids = np.array([l.body_id for l in self.agent.robot.links])
         self._link_masses = jnp.asarray(masses[self._link_ids])
         self._robot_mass = float(masses[self._link_ids].sum())

@@ -177,7 +177,11 @@ class HopperEnv(BaseEnv):
         model = self.scene  # masses resolved after finalize in _after_reconfigure
 
     def _after_reconfigure(self, options: dict):
-        masses = np.asarray(self.scene.model.body_mass, np.float32)
+        m = self.scene.model
+        masses = np.asarray(
+            m.host_body_mass if m.host_body_mass is not None else m.body_mass,
+            np.float32,
+        )
         link_ids = [l.body_id for l in self.agent.robot.links[3:]]  # skip dummies
         self._link_ids = np.array(link_ids)
         self._link_masses = jnp.asarray(masses[self._link_ids])
@@ -187,7 +191,10 @@ class HopperEnv(BaseEnv):
         rng = self._batched_episode_rng
         b = self.num_envs
         dof = self.agent.robot.dof
-        lims = np.asarray(self.scene.model.dof_limit)[self.agent.robot._vadr]
+        m = self.scene.model
+        lims = np.asarray(
+            m.host_dof_limit if m.host_dof_limit is not None else m.dof_limit
+        )[self.agent.robot._vadr]
         lo = np.clip(lims[:, 0], -np.pi, np.pi)
         hi = np.clip(lims[:, 1], -np.pi, np.pi)
         u = rng.uniform(0.0, 1.0, (dof,))

@@ -239,7 +239,11 @@ class HumanoidEnv(BaseEnv):
                 mb.exclude_collision(self.ground.body_id, link.body_id)
 
     def _after_reconfigure(self, options: dict):
-        masses = np.asarray(self.scene.model.body_mass, np.float32)
+        m = self.scene.model
+        masses = np.asarray(
+            m.host_body_mass if m.host_body_mass is not None else m.body_mass,
+            np.float32,
+        )
         link_ids = [
             l.body_id for l in self.agent.robot.links if not l.name.endswith("_d")
         ]

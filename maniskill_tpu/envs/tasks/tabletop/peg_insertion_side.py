@@ -30,7 +30,13 @@ class PegInsertionSideEnv(BaseEnv):
     _clearance = 0.003
 
     def __init__(self, *args, robot_uids="panda", **kwargs):
-        self._geom_seed = kwargs.pop("geometry_seed", 0)
+        # fixed geometry_seed pins the geometry distribution (tests); the
+        # default samples fresh geometry from the episode RNG at every
+        # reconfigure (reference peg_insertion_side.py:76-83)
+        self._geom_seed = kwargs.pop("geometry_seed", None)
+        if "reconfiguration_freq" not in kwargs or kwargs["reconfiguration_freq"] is None:
+            # single-env runs reconfigure every reset (reference :69-74)
+            kwargs["reconfiguration_freq"] = 1 if kwargs.get("num_envs", 1) == 1 else 0
         super().__init__(*args, robot_uids=robot_uids, **kwargs)
 
     @property
@@ -50,10 +56,23 @@ class PegInsertionSideEnv(BaseEnv):
         self.table_scene = TableSceneBuilder(self)
         self.table_scene.build()
 
-        rng = np.random.RandomState(self._geom_seed)
         B = self.num_envs
-        lengths = rng.uniform(0.085, 0.125, B).astype(np.float32)
-        radii = rng.uniform(0.015, 0.025, B).astype(np.float32)
+        if self._geom_seed is not None:
+            rng = np.random.RandomState(self._geom_seed)
+            lengths = rng.uniform(0.085, 0.125, B).astype(np.float32)
+            radii = rng.uniform(0.015, 0.025, B).astype(np.float32)
+        else:
+            # per-env geometry from the episode seeds: every reconfigure
+            # draws a fresh distribution (reference reconfigures with fresh
+            # episode RNG each reset, peg_insertion_side.py:76-83)
+            rngs = [
+                np.random.RandomState(int(s) & 0x7FFFFFFF)
+                for s in self._episode_seeds
+            ]
+            lengths = np.array(
+                [r.uniform(0.085, 0.125) for r in rngs], np.float32
+            )
+            radii = np.array([r.uniform(0.015, 0.025) for r in rngs], np.float32)
         self.peg_half_sizes = jnp.asarray(
             np.stack([lengths, radii, radii], axis=1)
         )

@@ -67,6 +67,7 @@ class GeomDef:
     pos: np.ndarray
     quat: np.ndarray
     friction: float = 0.5
+    restitution: float = 0.0
     contype: int = 1
     conaffinity: int = 1
     # render metadata
@@ -207,6 +208,7 @@ class ModelBuilder:
         pos=None,
         quat=None,
         friction: float = 0.5,
+        restitution: float = 0.0,
         name: Optional[str] = None,
         contype: int = 1,
         conaffinity: int = 1,
@@ -230,6 +232,7 @@ class ModelBuilder:
             pos=_arr(pos),
             quat=_arr(quat, 4),
             friction=friction,
+            restitution=restitution,
             contype=contype,
             conaffinity=conaffinity,
             color=tuple(color),
@@ -404,6 +407,11 @@ class ModelBuilder:
             dof_armature=jnp.asarray(dof_armature),
             dof_friction=jnp.asarray(dof_friction),
             dof_limit=jnp.asarray(dof_limit),
+            host_dof_limit=HArray(np.asarray(dof_limit, np.float32)),
+            host_body_mass=HArray(
+                np.asarray([b.mass for b in self.bodies], np.float32)
+            ),
+            host_body_gravcomp=HArray(np.zeros(len(self.bodies), np.float32)),
             drive_kp=jnp.zeros(nv, jnp.float32),
             drive_kd=jnp.zeros(nv, jnp.float32),
             drive_force_limit=jnp.full((nv,), np.inf, jnp.float32),
@@ -422,6 +430,7 @@ class ModelBuilder:
                 jnp.float32,
             ),
             geom_friction=jnp.asarray([g.friction for g in col_geoms], jnp.float32),
+            geom_restitution=jnp.asarray([g.restitution for g in col_geoms], jnp.float32),
             gravity=jnp.asarray(self.gravity, jnp.float32),
             drive6_body1=(
                 np.array([d[0] for d in self.drives], np.int32)

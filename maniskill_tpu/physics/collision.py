@@ -538,6 +538,11 @@ def collide(model: Model, data: Data, kin=None) -> Contact:
     fric = model.geom_friction
     if fric.ndim == 1:
         fric = jnp.broadcast_to(fric, (B,) + fric.shape)
+    rest = model.geom_restitution
+    if rest is None:
+        rest = jnp.zeros((B, model.ngeom), jnp.float32)
+    elif rest.ndim == 1:
+        rest = jnp.broadcast_to(rest, (B,) + rest.shape)
 
     # group candidate pairs by type combo (static)
     groups = {}
@@ -546,7 +551,7 @@ def collide(model: Model, data: Data, kin=None) -> Contact:
         key = (int(model.geom_type[g1]), int(model.geom_type[g2]))
         groups.setdefault(key, []).append((g1, g2))
 
-    pos_l, n_l, d_l, f_l, g1_l, g2_l = [], [], [], [], [], []
+    pos_l, n_l, d_l, f_l, e_l, g1_l, g2_l = [], [], [], [], [], [], []
     for (t1, t2), pairs in sorted(groups.items()):
         i1 = np.array([p[0] for p in pairs], np.int32)
         i2 = np.array([p[1] for p in pairs], np.int32)
@@ -573,11 +578,13 @@ def collide(model: Model, data: Data, kin=None) -> Contact:
                 gpos[:, i2], gquat[:, i2], size[:, i2],
             )
         mu = 0.5 * (fric[:, i1] + fric[:, i2])  # (B, P)
+        en = 0.5 * (rest[:, i1] + rest[:, i2])  # (B, P) PhysX average combine
         for (cp, cn, cd) in cands:
             pos_l.append(cp)  # (B, P, 3)
             n_l.append(cn)
             d_l.append(cd)  # (B, P)
             f_l.append(mu)
+            e_l.append(en)
             g1_l.append(i1)
             g2_l.append(i2)
 
@@ -589,6 +596,7 @@ def collide(model: Model, data: Data, kin=None) -> Contact:
             normal=jnp.zeros((B, 0, 3), jnp.float32),
             depth=jnp.zeros((B, 0), jnp.float32),
             friction=jnp.zeros((B, 0), jnp.float32),
+            restitution=jnp.zeros((B, 0), jnp.float32),
             impulse=jnp.zeros((B, 0, 3), jnp.float32),
         )
 
@@ -600,5 +608,6 @@ def collide(model: Model, data: Data, kin=None) -> Contact:
         normal=jnp.concatenate(n_l, axis=1),
         depth=jnp.concatenate(d_l, axis=1),
         friction=jnp.concatenate(f_l, axis=1),
+        restitution=jnp.concatenate(e_l, axis=1),
         impulse=jnp.zeros((B, len(geom1), 3), jnp.float32),
     )

@@ -133,12 +133,18 @@ def solve(
     prev_ok = (
         data.contact is not None and data.contact.impulse.shape[1] == C_full
     )
+    crest_full = (
+        contact.restitution
+        if contact.restitution is not None
+        else jnp.zeros_like(contact.friction)
+    )
     if compact:
         cdepth, idx = jax.lax.top_k(contact.depth, K)  # (B, K)
         g3 = lambda a: jnp.take_along_axis(a, idx[..., None], axis=1)
         cpos = g3(contact.pos)
         cnormal = g3(contact.normal)
         cmu = jnp.take_along_axis(contact.friction, idx, axis=1)
+        crest = jnp.take_along_axis(crest_full, idx, axis=1)
         w = jnp.take(w_full, idx, axis=0)  # (B, K, nv)
         prev_imp = g3(data.contact.impulse) if prev_ok else None
         C = K
@@ -146,6 +152,7 @@ def solve(
         cdepth, cpos, cnormal, cmu = (
             contact.depth, contact.pos, contact.normal, contact.friction,
         )
+        crest = crest_full
         w = w_full[None]
         prev_imp = data.contact.impulse if prev_ok else None
         C = C_full
@@ -241,11 +248,23 @@ def solve(
         ),
         limit_depth / h,
     )
-    target = jnp.zeros((B, C, 3), jnp.float32).at[..., 0].set(bias_c).reshape(B, C * 3)
-    target = jnp.concatenate([target, bias_l], axis=1)  # (B, R)
-
     v0 = jnp.einsum("bvr,bv->br", Jt, qvel_pred)
     mu = cmu
+
+    # restitution (DefaultMaterialsConfig.restitution parity): rows
+    # approaching faster than bounce_threshold rebound at e * approach speed
+    # — the target normal velocity is raised above the Baumgarte push-out
+    if C > 0:
+        v_n0 = v0[:, : C * 3].reshape(B, C, 3)[..., 0]  # pre-solve normal vel
+        approach = jnp.maximum(-v_n0, 0.0)
+        bounce = jnp.where(
+            approach > model.bounce_threshold, crest * approach, 0.0
+        )
+        # only raise the target where a bounce is active — speculative
+        # (separated) rows keep their negative approach-allowance targets
+        bias_c = jnp.where(bounce > 0.0, jnp.maximum(bias_c, bounce), bias_c)
+    target = jnp.zeros((B, C, 3), jnp.float32).at[..., 0].set(bias_c).reshape(B, C * 3)
+    target = jnp.concatenate([target, bias_l], axis=1)  # (B, R)
 
     def project(lam):
         cap_hi = model.max_impulse

@@ -227,9 +227,29 @@ class Model:
     # The per-env heterogeneous variant carries a leading env axis.
     hull_verts: Optional[jax.Array] = None  # (NH, MAXV, 3) or (B, NH, MAXV, 3)
     hull_dirs: Optional[jax.Array] = None  # (NH, MAXD, 3)
+
+    # per-geom coefficient of restitution (DefaultMaterialsConfig.restitution
+    # and per-shape material overrides); None = all zero (fully inelastic)
+    geom_restitution: Optional[jax.Array] = None  # (ngeom,) or (B, ngeom)
+    # minimum approach speed for restitution (PhysX bounceThresholdVelocity)
+    bounce_threshold: float = struct.field(pytree_node=False, default=2.0)
     geom_hull: Optional[np.ndarray] = struct.field(
         pytree_node=False, default=None
     )  # (ngeom,) i32 hull id or -1
+
+    # host-side mirrors of parameters controllers/tasks read at scene-build
+    # time (action-space limits, mass-dependent reward constants). Reading
+    # the jax leaves there would synchronize device->host during
+    # ``gym.make`` — the round-2 bench failure class.
+    host_dof_limit: Optional[np.ndarray] = struct.field(
+        pytree_node=False, default=None
+    )  # (nv, 2) f32
+    host_body_mass: Optional[np.ndarray] = struct.field(
+        pytree_node=False, default=None
+    )  # (nbody,) f32
+    host_body_gravcomp: Optional[np.ndarray] = struct.field(
+        pytree_node=False, default=None
+    )  # (nbody,) f32
 
     @property
     def npair(self) -> int:
@@ -252,6 +272,7 @@ class Contact:
     normal: jax.Array = None  # (B, C, 3) unit normal, pushes geom1 out of geom2
     depth: jax.Array = None  # (B, C) penetration depth (>0 means touching)
     friction: jax.Array = None  # (B, C)
+    restitution: jax.Array = None  # (B, C)
     impulse: jax.Array = None  # (B, C, 3) world-frame impulse applied to body of geom1
 
 

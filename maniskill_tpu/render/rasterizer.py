@@ -51,7 +51,11 @@ class SceneMesh:
 
         verts_l, faces_l, vgeom_l, fgeom_l, fcol_l, fseg_l = [], [], [], [], [], []
         voff = 0
-        geom_size = np.asarray(model.geom_size)
+        # host mirrors: render mesh construction runs at gym.make time and
+        # must not synchronize device->host
+        geom_size = getattr(scene, "host_geom_size", None)
+        if geom_size is None:
+            geom_size = np.asarray(model.geom_size)
         # geom -> segmentation id (per_scene_id of owning actor/link)
         seg_of_body = {}
         for actor in scene.actors.values():
@@ -62,9 +66,9 @@ class SceneMesh:
 
         from ..physics.types import HULL
 
-        hull_verts = (
-            None if model.hull_verts is None else np.asarray(model.hull_verts)
-        )
+        hull_verts = getattr(scene, "host_hull_verts", None)
+        if hull_verts is None and model.hull_verts is not None:
+            hull_verts = np.asarray(model.hull_verts)
         geom_hull = model.geom_hull
         verts_b = None  # set when any hull table is per-env (B, NH, V, 3)
 

@@ -21,6 +21,9 @@ class SceneConfig:
     # contacts; the PhysX contact_offset analog). Persistent rows keep the
     # warm start across micro-separations — critical for grasp stability.
     contact_offset: float = 0.01
+    # minimum approach speed for restitution to apply (PhysX
+    # bounceThresholdVelocity; sapien SceneConfig default 2.0)
+    bounce_threshold: float = 2.0
 
 
 @dataclasses.dataclass

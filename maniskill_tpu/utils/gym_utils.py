@@ -15,13 +15,18 @@ def convert_observation_to_space(obs: Any, unbatched: bool = True) -> gym.Space:
         return gym.spaces.Dict(
             {k: convert_observation_to_space(v, unbatched) for k, v in obs.items()}
         )
-    arr = np.asarray(obs)
-    shape = arr.shape[1:] if unbatched else arr.shape
-    if arr.dtype == np.bool_:
+    # only shape/dtype are needed — never transfer device data to host here
+    if isinstance(obs, jax.Array):
+        shape, dtype = tuple(obs.shape), np.dtype(obs.dtype)
+    else:
+        arr = np.asarray(obs)
+        shape, dtype = arr.shape, arr.dtype
+    shape = shape[1:] if unbatched else shape
+    if dtype == np.bool_:
         return gym.spaces.Box(0, 1, shape, np.bool_)
-    if np.issubdtype(arr.dtype, np.integer):
-        info = np.iinfo(arr.dtype)
-        return gym.spaces.Box(info.min, info.max, shape, arr.dtype)
+    if np.issubdtype(dtype, np.integer):
+        info = np.iinfo(dtype)
+        return gym.spaces.Box(info.min, info.max, shape, dtype)
     return gym.spaces.Box(-np.inf, np.inf, shape, np.float32)
 
 

@@ -471,3 +471,39 @@ def test_two_finger_squeeze_lift_heavy():
     cube_z = float(data.qpos[0, 5])
     assert carriage_z > 0.12, carriage_z
     assert cube_z - cube_z0 > 0.7 * carriage_z, (cube_z0, cube_z, carriage_z)
+
+
+def test_restitution_bounce():
+    """Ball dropped on a plane with restitution e rebounds at ~e * impact
+    speed (DefaultMaterialsConfig.restitution plumbed into the solver's
+    normal-row targets); e=0 stays dead."""
+    for e, min_ratio, max_ratio in ((0.8, 0.55, 0.95), (0.0, -0.05, 0.12)):
+        mb = ModelBuilder(timestep=0.002)
+        g = mb.add_body("ground", jnt_type=3, body_type=STATIC)  # FIXED
+        mb.add_geom(g, PLANE, [0, 0, 0], restitution=e)
+        b = mb.add_body("ball", jnt_type=FREE, mass=1.0)
+        mb.add_geom(b, SPHERE, [0.05], restitution=e)
+        model = mb.finalize().replace(bounce_threshold=0.2)
+        data = make_data(model, 2)
+        data = data.replace(
+            qpos=data.qpos.at[:, 2].set(0.55),
+            qvel=data.qvel.at[:, 2].set(-2.0),
+        )
+
+        @jax.jit
+        def run(d):
+            d = phys.forward(model, d)
+
+            def body(d, _):
+                d = phys.step(model, d)
+                return d, d.qvel[:, 2]
+
+            return jax.lax.scan(body, d, None, length=400)
+
+        _, vz = run(data)
+        impact = float(jnp.min(vz[:, 0]))  # fastest downward speed
+        rebound = float(jnp.max(vz[:, 0]))  # fastest upward speed after
+        ratio = rebound / -impact
+        assert min_ratio <= ratio <= max_ratio, (
+            f"e={e}: impact {impact:.3f}, rebound {rebound:.3f}, ratio {ratio:.3f}"
+        )

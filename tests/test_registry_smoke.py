@@ -18,15 +18,6 @@ import maniskill_tpu.envs  # noqa: F401
 from maniskill_tpu.utils.registration import REGISTERED_ENVS, make
 
 CORE_ONLY = bool(os.environ.get("MS_TEST_SMOKE_CORE"))
-SLOW_OR_HUGE = {"FrankaMoveBenchmark-v1", "FrankaPickCubeBenchmark-v1",
-                "CartpoleBalanceBenchmark-v1",
-                # same machinery as SceneManipulation-v1 (which stays in the
-                # suite) with a different layout seed; skip the duplicates
-                "ReplicaCAD_SceneManipulation-v1",
-                "iTHOR_SceneManipulation-v1",
-                "ProcTHOR_SceneManipulation-v1",
-                "ArchitecTHOR_SceneManipulation-v1",
-                "RoboTHOR_SceneManipulation-v1"}
 # ink bodies make the drawing envs compile slowly at full budget; the smoke
 # pass exercises the mechanism with a small budget
 SMALL_KWARGS = {
@@ -35,7 +26,10 @@ SMALL_KWARGS = {
     "DrawSVG-v1": dict(max_dots=8),
 }
 
-ALL_IDS = sorted(set(REGISTERED_ENVS) - SLOW_OR_HUGE)
+# EVERY registered env constructs and steps — benchmarks and all
+# SceneManipulation layout variants included (round-2 verdict: the excluded
+# set contained exactly the env that broke bench.py)
+ALL_IDS = sorted(REGISTERED_ENVS)
 CORE_IDS = ["StackCube-v1", "MS-HopperStand-v1"]
 
 
