@@ -40,6 +40,81 @@ class ActorCritic(nn.Module):
         return mean, log_std, v
 
 
+class NatureCNN(nn.Module):
+    """NatureCNN visual extractor (reference ppo_rgb.py:176-233).
+
+    Convs run in bfloat16 — the encoder is the MXU-heavy part of visual PPO
+    and bf16 doubles its throughput; features are cast back to f32 for the
+    policy/value heads.
+    """
+
+    feature_size: int = 256
+
+    @nn.compact
+    def __call__(self, obs: dict) -> jax.Array:
+        feats = []
+        for key in ("rgb", "rgbd"):
+            if key in obs:
+                x = obs[key].astype(jnp.bfloat16) / 255.0
+                for ch, k, s in ((32, 8, 4), (64, 4, 2), (64, 3, 1)):
+                    x = nn.relu(
+                        nn.Conv(
+                            ch, (k, k), strides=(s, s), padding="VALID",
+                            dtype=jnp.bfloat16, name=f"{key}_conv{k}",
+                        )(x)
+                    )
+                x = x.reshape(x.shape[0], -1)
+                x = nn.relu(
+                    nn.Dense(
+                        self.feature_size, dtype=jnp.bfloat16, name=f"{key}_fc"
+                    )(x)
+                )
+                feats.append(x.astype(jnp.float32))
+        if "depth" in obs:
+            # separate depth tower (int16 mm -> meters), same architecture
+            x = obs["depth"].astype(jnp.bfloat16) / 1000.0
+            for ch, k, s in ((32, 8, 4), (64, 4, 2), (64, 3, 1)):
+                x = nn.relu(
+                    nn.Conv(
+                        ch, (k, k), strides=(s, s), padding="VALID",
+                        dtype=jnp.bfloat16, name=f"depth_conv{k}",
+                    )(x)
+                )
+            x = x.reshape(x.shape[0], -1)
+            x = nn.relu(
+                nn.Dense(self.feature_size, dtype=jnp.bfloat16, name="depth_fc")(x)
+            )
+            feats.append(x.astype(jnp.float32))
+        if "state" in obs:
+            feats.append(nn.Dense(256, name="state_fc")(obs["state"]))
+        return jnp.concatenate(feats, axis=-1)
+
+
+class VisualActorCritic(nn.Module):
+    """Shared NatureCNN encoder + separate actor/critic heads
+    (reference ppo_rgb.py:235-274)."""
+
+    action_dim: int
+    hidden: int = 512
+
+    @nn.compact
+    def __call__(self, obs: dict):
+        x = NatureCNN(name="feature_net")(obs)
+        pi = nn.relu(nn.Dense(self.hidden, name="actor_fc")(x))
+        mean = nn.Dense(
+            self.action_dim,
+            kernel_init=nn.initializers.orthogonal(0.01 * np.sqrt(2)),
+            name="actor_out",
+        )(pi)
+        log_std = self.param(
+            "log_std", nn.initializers.constant(-0.5), (self.action_dim,)
+        )
+        log_std = jnp.clip(log_std, -4.0, 1.0)
+        vf = nn.relu(nn.Dense(self.hidden, name="critic_fc")(x))
+        v = nn.Dense(1, name="critic_out")(vf)[..., 0]
+        return mean, log_std, v
+
+
 class PPOConfig(NamedTuple):
     rollout_steps: int = 16
     gamma: float = 0.8
@@ -72,20 +147,75 @@ def make_env_step_fns(env):
     return step_fn, reset_fn
 
 
+def make_obs_transform(base):
+    """Pure fn mapping a raw visual obs dict -> {rgb/depth: (B,H,W,C), state}
+    (FlattenRGBDObservationWrapper semantics, usable inside the rollout jit)."""
+    from ..utils import common
+
+    def obs_tf(obs):
+        out = {}
+        rgbs, depths = [], []
+        for cam in sorted(obs.get("sensor_data", {})):
+            data = obs["sensor_data"][cam]
+            if "rgb" in data:
+                rgbs.append(data["rgb"])
+            if "depth" in data:
+                depths.append(data["depth"])
+        if rgbs:
+            out["rgb"] = jnp.concatenate(rgbs, axis=-1)
+        if depths:
+            out["depth"] = jnp.concatenate(depths, axis=-1)
+        out["state"] = common.flatten_state_dict(
+            dict(agent=obs.get("agent", {}), extra=obs.get("extra", {}))
+        )
+        return out
+
+    return obs_tf
+
+
 def make_train_step(env, config: PPOConfig = PPOConfig()):
-    """Build (init_state, train_step) for PPO on a batched env."""
+    """Build (init_state, train_step) for PPO on a batched env.
+
+    Supports state obs (flat vector + MLP ActorCritic) and visual obs
+    (obs_mode="rgb"/"rgbd"/...: render fused into the rollout jit, dict obs
+    through a NatureCNN VisualActorCritic — reference ppo_rgb.py:1-594)."""
     base = env.unwrapped
     num_envs = base.num_envs
     act_dim = int(np.prod(base.single_action_space.shape))
-    step_fn, reset_fn = make_env_step_fns(env)
-    model = ActorCritic(act_dim)
+    raw_step_fn, raw_reset_fn = make_env_step_fns(env)
+
+    visual = base.obs_mode not in ("state", "none")
+    if visual:
+        obs_tf = make_obs_transform(base)
+        model = VisualActorCritic(act_dim)
+
+        def step_fn(data, action):
+            d, obs, rew, term = raw_step_fn(data, action)
+            return d, obs_tf(obs), rew, term
+
+        def reset_fn(data, mask, keys):
+            d, obs = raw_reset_fn(data, mask, keys)
+            return d, obs_tf(obs)
+
+    else:
+        obs_tf = lambda o: o
+        model = ActorCritic(act_dim)
+        step_fn, reset_fn = raw_step_fn, raw_reset_fn
 
     from ..utils.gym_utils import find_max_episode_steps_value
 
     max_steps = find_max_episode_steps_value(env) or 50
 
     def init_state(key, obs_dim, total_updates=None):
-        params = model.init(key, jnp.zeros((1, obs_dim)))
+        if isinstance(obs_dim, int):
+            sample = jnp.zeros((1, obs_dim))
+        else:
+            # a sample obs (raw env obs or already-transformed dict)
+            sample = obs_dim
+            if visual and "sensor_data" in sample:
+                sample = obs_tf(sample)
+            sample = jax.tree_util.tree_map(lambda x: x[:1], sample)
+        params = model.init(key, sample)
         if total_updates:
             n_minib = total_updates * config.update_epochs * config.num_minibatches
             lr = optax.linear_schedule(config.lr, 0.0, n_minib)
@@ -125,7 +255,7 @@ def make_train_step(env, config: PPOConfig = PPOConfig()):
             _, _, v_final = model.apply(params, new_obs)
             reward = reward + config.gamma * v_final * done.astype(jnp.float32)
             # SAME_STEP autoreset (vector/wrappers/gymnasium.py:127-184)
-            keys = jax.random.split(rkey, obs.shape[0])
+            keys = jax.random.split(rkey, num_envs)
             reset_data, reset_obs = reset_fn(new_data, done, keys)
             elapsed = jnp.where(done, 0, elapsed)
             out = (obs, action, logp, reward, done, value, terminated)
@@ -182,24 +312,28 @@ def make_train_step(env, config: PPOConfig = PPOConfig()):
         return pg_loss + config.vf_coef * v_loss - config.ent_coef * entropy
 
     def train_step(params, opt_state, tx, data, obs, elapsed, key):
+        if visual and isinstance(obs, dict) and "sensor_data" in obs:
+            obs = obs_tf(obs)
         data, obs, elapsed, key, traj = rollout(params, data, obs, elapsed, key)
         _, _, last_value = model.apply(params, obs)
         advs, returns = compute_gae(traj, last_value)
         t_obs, t_act, t_logp, t_rew, t_done, t_val, t_term = traj
-        flat = lambda x: x.reshape((-1,) + x.shape[2:])
+        flat = lambda t: jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), t
+        )
         batch = (flat(t_obs), flat(t_act), flat(t_logp), flat(advs), flat(returns))
 
         def epoch(carry, _):
             params, opt_state, key = carry
             key, pkey = jax.random.split(key)
-            n = batch[0].shape[0]
+            n = batch[1].shape[0]  # actions (B*T, A); batch[0] may be a dict
             perm = jax.random.permutation(pkey, n)
             mb_size = n // config.num_minibatches
 
             def mb_update(carry, i):
                 params, opt_state = carry
                 idx = jax.lax.dynamic_slice_in_dim(perm, i * mb_size, mb_size)
-                mb = tuple(b[idx] for b in batch)
+                mb = jax.tree_util.tree_map(lambda b: b[idx], batch)
                 loss, grads = jax.value_and_grad(ppo_loss)(params, mb)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
@@ -227,7 +361,10 @@ def make_train_step(env, config: PPOConfig = PPOConfig()):
             bad_params=bad_params,
             bad_rewards=jnp.sum(~jnp.isfinite(t_rew)),
             term_frac=t_term.mean(),
-            bad_obs=jnp.sum(~jnp.isfinite(t_obs)),
+            bad_obs=sum(
+                jnp.sum(~jnp.isfinite(x.astype(jnp.float32)))
+                for x in jax.tree_util.tree_leaves(t_obs)
+            ),
             max_action=jnp.max(jnp.abs(t_act)),
             max_adv=jnp.max(jnp.abs(advs)),
         )
