@@ -189,8 +189,12 @@ class ManiSkillScene:
     # broadcast over the env axis: promote a field to (B, ...) and scatter.
     def set_per_env_geom_sizes(self, actor, sizes):
         """sizes: (B, n_geoms_of_actor, 3) or (B, 3) for single-geom actors."""
+        return self.set_per_env_geom_sizes_by_id(actor.geom_ids, sizes)
+
+    def set_per_env_geom_sizes_by_id(self, geom_ids, sizes):
+        """sizes: (B, K, 3) (or (B, 3) for K==1) for explicit geom ids."""
         m = self.model
-        gids = actor.geom_ids
+        gids = np.asarray(geom_ids, np.int32)
         gs = m.geom_size
         if gs.ndim == 2:
             gs = jnp.broadcast_to(gs, (self.num_envs,) + gs.shape)
@@ -262,6 +266,50 @@ class ManiSkillScene:
             bm = jnp.broadcast_to(bm, (self.num_envs,) + bm.shape)
         self.model = m.replace(
             body_mass=bm.at[:, actor.body_id].set(jnp.asarray(mass, jnp.float32))
+        )
+
+    def set_per_env_body_pos(self, body_ids, pos):
+        """Per-env joint-frame origins (heterogeneous articulated assets:
+        drawer heights / hinge positions vary per env — the reference's
+        PartNet-Mobility cabinet sampling, open_cabinet_drawer.py:134-176).
+
+        body_ids: (K,) int; pos: (B, K, 3) host array."""
+        m = self.model
+        bp = m.body_pos
+        if bp.ndim == 2:
+            bp = jnp.broadcast_to(bp, (self.num_envs,) + bp.shape)
+        bids = np.asarray(body_ids, np.int32)
+        self.model = m.replace(
+            body_pos=bp.at[:, bids].set(jnp.asarray(pos, jnp.float32))
+        )
+
+    def set_per_env_geom_pos(self, geom_ids, pos):
+        """Per-env geom offsets in the body frame. geom_ids: (K,); pos (B,K,3)."""
+        m = self.model
+        gp = m.geom_pos
+        if gp.ndim == 2:
+            gp = jnp.broadcast_to(gp, (self.num_envs,) + gp.shape)
+        gids = np.asarray(geom_ids, np.int32)
+        self.model = m.replace(
+            geom_pos=gp.at[:, gids].set(jnp.asarray(pos, jnp.float32))
+        )
+
+    def set_per_env_dof_limits(self, dof_adrs, limits):
+        """Per-env joint limits; locking a dof to [0, 0] disables it — the
+        static-shape realization of per-env link/DoF structure (absent
+        drawers/doors are locked slots of the union template).
+
+        dof_adrs: (K,) int; limits: (B, K, 2) host array."""
+        m = self.model
+        dl = m.dof_limit
+        if dl.ndim == 2:
+            dl = jnp.broadcast_to(dl, (self.num_envs,) + dl.shape)
+        adrs = np.asarray(dof_adrs, np.int32)
+        assert bool(
+            np.asarray(m.dof_limited)[adrs].all()
+        ), "per-env limits require dofs marked limited at build time"
+        self.model = m.replace(
+            dof_limit=dl.at[:, adrs].set(jnp.asarray(limits, jnp.float32))
         )
 
     def set_per_env_friction(self, actor, friction):

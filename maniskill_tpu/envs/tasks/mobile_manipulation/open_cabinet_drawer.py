@@ -1,11 +1,13 @@
-"""OpenCabinetDrawer-v1 (counterpart of
+"""OpenCabinetDrawer-v1 / OpenCabinetDoor-v1 (counterpart of
 mani_skill/envs/tasks/mobile_manipulation/open_cabinet_drawer.py).
 
-Differences from the reference: the cabinet is procedural (box shell +
-prismatic drawer with a handle) instead of PartNet-Mobility meshes, and the
-default robot is the Panda (the reference uses Fetch; mobile bases land with
-the Fetch agent). Task semantics preserved: open the target drawer past 90%
-of its joint range and keep it static.
+Heterogeneous articulated assets: every env samples a cabinet VARIANT with a
+different drawer/door count (the reference samples PartNet-Mobility models
+per sub-scene and merges them, open_cabinet_drawer.py:128-176). Here the
+union-template articulation (building/articulations/cabinet.py) realizes the
+per-env structure through parameter tables — locked slots have zero joint
+range, so qpos/DoF structure genuinely differs per env under one static
+shape. Default robot is the Fetch mobile manipulator (reference :54).
 """
 from __future__ import annotations
 
@@ -13,119 +15,132 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ....building.articulation_builder import ArticulationBuilder, LinkSpec, ShapeSpec
+from ....building.articulations.cabinet import (
+    CABINET_VARIANTS,
+    MAX_DRAWERS,
+    NUM_SLOTS,
+    apply_cabinet_variants,
+    build_cabinet_template,
+    sample_cabinet_variants,
+)
 from ....building.ground import build_ground
-from ....physics.types import BOX, SLIDE
 from ....sensors.camera import CameraConfig
-from ....structs.pose import Pose
+from ....utils.geometry.rotation_conversions import quaternion_apply
 from ....utils.registration import register_env
 from ....utils.scene_utils import look_at
 from ...base_env import BaseEnv
 
-CABINET_HALF = np.array([0.18, 0.25, 0.2])  # x (depth), y (width), z (height)
-WALL = 0.015
-DRAWER_RANGE = 0.22
 
+class OpenCabinetBase(BaseEnv):
+    SUPPORTED_ROBOTS = ["fetch", "panda"]
+    min_open_frac = 0.75  # reference open_cabinet_drawer.py:60
+    target_kind = "drawer"  # or "door"
 
-def _build_cabinet(scene, name="cabinet", base_pos=(0.0, 0.0, CABINET_HALF[2])):
-    b = ArticulationBuilder(scene)
-    hx, hy, hz = CABINET_HALF
-    box = lambda hs, pos, color=(0.54, 0.39, 0.27, 1): ShapeSpec(
-        BOX, hs, pos, friction=1.0, color=color
-    )
-    shell = [
-        box((hx, hy, WALL), (0, 0, hz - WALL)),          # top
-        box((hx, hy, WALL), (0, 0, -hz + WALL)),         # bottom
-        box((hx, WALL, hz), (0, -hy + WALL, 0)),         # left
-        box((hx, WALL, hz), (0, hy - WALL, 0)),          # right
-        box((WALL, hy, hz), (-hx + WALL, 0, 0)),         # back
-    ]
-    b.add_link(
-        LinkSpec(
-            "cabinet_base", None,
-            collisions=shell, visuals=shell,
-        )
-    )
-    # drawer: open-top box sliding along +x with a handle bar in front
-    dx, dy, dz = hx - 2 * WALL, hy - 3 * WALL, hz * 0.45
-    dwall = 0.01
-    drawer_shapes = [
-        box((dx, dy, dwall), (0, 0, -dz + dwall), (0.72, 0.58, 0.4, 1)),  # bottom
-        box((dwall, dy, dz), (dx - dwall, 0, 0), (0.72, 0.58, 0.4, 1)),   # front
-        box((dwall, dy, dz), (-dx + dwall, 0, 0), (0.72, 0.58, 0.4, 1)),  # back
-        box((dx, dwall, dz), (0, -dy + dwall, 0), (0.72, 0.58, 0.4, 1)),  # left
-        box((dx, dwall, dz), (0, dy - dwall, 0), (0.72, 0.58, 0.4, 1)),   # right
-        # handle: bar sticking out the front face
-        box((0.025, 0.06, 0.012), (dx + 0.035, 0, 0), (0.2, 0.2, 0.2, 1)),
-    ]
-    b.add_link(
-        LinkSpec(
-            "drawer", "cabinet_base", SLIDE, "drawer_joint",
-            origin_pos=(0, 0, -hz * 0.4), axis=(1, 0, 0),
-            limit=(0.0, DRAWER_RANGE), damping=5.0,
-            collisions=drawer_shapes, visuals=drawer_shapes,
-        )
-    )
-    b.set_initial_pose(np.array([*base_pos, 1, 0, 0, 0]))
-    return b.build(name)
-
-
-@register_env("OpenCabinetDrawer-v1", max_episode_steps=100)
-class OpenCabinetDrawerEnv(BaseEnv):
-    SUPPORTED_ROBOTS = ["panda"]
-    min_open_frac = 0.9
-
-    def __init__(self, *args, robot_uids="panda", robot_init_qpos_noise=0.02, **kwargs):
+    def __init__(self, *args, robot_uids="fetch", robot_init_qpos_noise=0.02, **kwargs):
         self.robot_init_qpos_noise = robot_init_qpos_noise
         super().__init__(*args, robot_uids=robot_uids, **kwargs)
 
     @property
     def _default_sensor_configs(self):
-        pose = look_at(eye=[-0.6, 0.6, 0.8], target=[0.1, 0, 0.2])
+        pose = look_at(eye=[-0.6, 0.9, 1.1], target=[0.2, 0, 0.4])
         return [CameraConfig("base_camera", pose, 128, 128, np.pi / 2, 0.01, 100)]
 
     @property
     def _default_human_render_camera_configs(self):
-        pose = look_at([-0.8, 1.0, 1.0], [0.1, 0.0, 0.2])
+        pose = look_at([1.6, 1.4, 1.2], [0.1, 0.0, 0.4])
         return CameraConfig("render_camera", pose, 512, 512, 1, 0.01, 100)
 
     def _load_agent(self, options: dict):
-        super()._load_agent(options, np.array([-0.8, 0, 0, 1, 0, 0, 0]))
+        super()._load_agent(options, np.array([1.5, 0, 0, 0, 0, 0, 1]))
+
+    def _variant_ok(self, v):
+        return (v["drawers"] if self.target_kind == "drawer" else v["doors"]) > 0
 
     def _load_scene(self, options: dict):
         self.ground = build_ground(self.scene)
-        self.cabinet = _build_cabinet(
-            self.scene, base_pos=(0.1, 0.0, CABINET_HALF[2])
-        )
-        self.drawer_joint = self.cabinet.joints_map["drawer_joint"]
-        self.drawer_link = self.cabinet.links_map["drawer"]
-        self.handle_offset = jnp.asarray(
-            [CABINET_HALF[0] - 2 * WALL + 0.06, 0.0, 0.0]
-        )
+        self.cabinet, self.cab_meta = build_cabinet_template(self.scene)
 
+    def _after_reconfigure(self, options: dict):
+        # per-env tables bind to the finalized Model (scene.model exists now)
+        B = self.num_envs
+
+        # geometry from per-env episode seeds: fresh structure every
+        # reconfigure (reference reconfigures with fresh episode RNG)
+        rng = np.random.RandomState(
+            int(np.asarray(self._episode_seeds[0])) & 0x7FFFFFFF
+        )
+        # sample variants restricted to those with the target joint kind
+        valid_ids = np.array(
+            [i for i, v in enumerate(CABINET_VARIANTS) if self._variant_ok(v)]
+        )
+        variant_ids = valid_ids[rng.randint(0, len(valid_ids), B)]
+        inst = sample_cabinet_variants(rng, B, variant_ids=variant_ids)
+        apply_cabinet_variants(self.scene, self.cab_meta, inst)
+        self.cab_inst = inst
+
+        # per-env target slot among active slots of the right kind
+        slot_range = (
+            range(MAX_DRAWERS)
+            if self.target_kind == "drawer"
+            else range(MAX_DRAWERS, NUM_SLOTS)
+        )
+        targets = np.zeros(B, np.int64)
+        for i in range(B):
+            cands = [s for s in slot_range if inst.active[i, s]]
+            targets[i] = cands[rng.randint(len(cands))]
+        self.target_slot = jnp.asarray(targets)
+        self.target_onehot = jnp.asarray(
+            np.eye(NUM_SLOTS, dtype=np.float32)[targets]
+        )
+        self.handle_local = jnp.asarray(inst.handle_local)  # (B, S, 3)
+        self.slot_limits = jnp.asarray(inst.limits)  # (B, S, 2)
+        self.active_mask = jnp.asarray(inst.active.astype(np.float32))
+
+    # -- per-env target handle world position -----------------------------
     @property
-    def handle_pos(self):
-        from ....utils.geometry.rotation_conversions import quaternion_apply
+    def handle_pos(self) -> jax.Array:
+        d = self.scene.data
+        bids = self.cab_meta.slot_bodies
+        p = d.xpos[:, bids]  # (B, S, 3)
+        q = d.xquat[:, bids]  # (B, S, 4)
+        world = p + quaternion_apply(q, self.handle_local)
+        return jnp.einsum("bs,bsk->bk", self.target_onehot, world)
 
-        p = self.drawer_link.pose
-        return p.p + quaternion_apply(p.q, self.handle_offset)
+    def _slot_fracs(self) -> jax.Array:
+        q = self.scene.data.qpos[:, self.cab_meta.slot_qadrs]  # (B, S)
+        lo = self.slot_limits[..., 0]
+        hi = self.slot_limits[..., 1]
+        return jnp.where(hi - lo > 1e-6, (q - lo) / (hi - lo + 1e-9), 0.0)
 
     def _initialize_episode(self, env_idx: jax.Array, options: dict):
+        B = self.num_envs
         kf = self.agent.keyframes.get("rest")
-        qpos = jnp.asarray(kf.qpos, jnp.float32)
+        qpos = jnp.broadcast_to(
+            jnp.asarray(kf.qpos, jnp.float32), (B, len(kf.qpos))
+        )
         noise = self._batched_episode_rng.normal(
             0.0, self.robot_init_qpos_noise, size=(len(kf.qpos),)
         )
-        self.agent.reset(qpos + noise)
-        # drawer starts closed (tiny random crack)
-        q0 = self._batched_episode_rng.uniform(0.0, 0.02)
-        self.cabinet.set_qpos(q0[:, None])
-        self.cabinet.set_qvel(jnp.zeros((self.num_envs, 1), jnp.float32))
+        qpos = qpos + noise
+        if self.robot_uids == "fetch":
+            # base 1.6-1.8 m from the cabinet face, yaw within ±9°
+            # (reference randomizations, open_cabinet_drawer.py:41)
+            dist = self._batched_episode_rng.uniform(1.6, 1.8)
+            yaw = self._batched_episode_rng.uniform(-np.pi / 32, np.pi / 32)
+            qpos = qpos.at[:, 0].set(0.1 + dist)
+            qpos = qpos.at[:, 1].set(self._batched_episode_rng.uniform(-0.2, 0.2))
+            qpos = qpos.at[:, 2].set(np.pi + yaw)
+        self.agent.reset(qpos)
+        self.cabinet.set_qpos(jnp.zeros((B, NUM_SLOTS), jnp.float32))
+        self.cabinet.set_qvel(jnp.zeros((B, NUM_SLOTS), jnp.float32))
 
     def evaluate(self):
-        frac = self.drawer_joint.qpos[:, 0] / DRAWER_RANGE
+        fracs = self._slot_fracs()
+        frac = jnp.einsum("bs,bs->b", self.target_onehot, fracs)
+        qv = self.scene.data.qvel[:, self.cab_meta.slot_dofs]
+        target_qvel = jnp.einsum("bs,bs->b", self.target_onehot, qv)
         open_enough = frac >= self.min_open_frac
-        is_static = jnp.abs(self.drawer_joint.qvel[:, 0]) <= 0.05
+        is_static = jnp.abs(target_qvel) <= 0.05
         return {
             "success": open_enough & is_static,
             "open_frac": frac,
@@ -138,7 +153,11 @@ class OpenCabinetDrawerEnv(BaseEnv):
             open_frac=info["open_frac"],
         )
         if self.obs_mode_struct["use_state"]:
-            obs.update(drawer_qpos=self.drawer_joint.qpos)
+            obs.update(
+                slot_qpos=self.scene.data.qpos[:, self.cab_meta.slot_qadrs],
+                slot_active=self.active_mask,
+                target_onehot=self.target_onehot,
+            )
         return obs
 
     def compute_dense_reward(self, obs, action, info):
@@ -152,3 +171,17 @@ class OpenCabinetDrawerEnv(BaseEnv):
 
     def compute_normalized_dense_reward(self, obs, action, info):
         return self.compute_dense_reward(obs, action, info) / 5.0
+
+
+@register_env("OpenCabinetDrawer-v1", max_episode_steps=100)
+class OpenCabinetDrawerEnv(OpenCabinetBase):
+    """Open the per-env target drawer past min_open_frac of its range."""
+
+    target_kind = "drawer"
+
+
+@register_env("OpenCabinetDoor-v1", max_episode_steps=100)
+class OpenCabinetDoorEnv(OpenCabinetBase):
+    """Open the per-env target door (revolute) past min_open_frac."""
+
+    target_kind = "door"

@@ -73,6 +73,11 @@ class Link:
         return self.scene.net_contact_forces_for_bodies([self.body_id])
 
     @property
+    def geom_ids(self):
+        gb = np.asarray(self.scene.model.geom_body)
+        return np.nonzero(gb == self.body_id)[0]
+
+    @property
     def is_root(self) -> bool:
         return self.articulation is not None and self.articulation.root is self
 

@@ -96,3 +96,48 @@ def test_per_env_mass_gravity_force():
     data = run(data)
     fz = np.asarray(jnp.sum(data.contact.impulse[..., 2], axis=1)) / model.timestep
     np.testing.assert_allclose(fz, np.asarray(masses) * 9.81, rtol=0.05)
+
+
+def test_heterogeneous_cabinet_articulations():
+    """OpenCabinetDrawer-v1: per-env cabinet VARIANTS (different drawer/door
+    counts — the reference's PartNet-Mobility sampling + Articulation.merge,
+    open_cabinet_drawer.py:128-176) realized as parameter tables over a
+    union template. Locked slots must be immovable; active target drawers
+    must open; handle positions must differ across envs."""
+    import maniskill_tpu.envs  # noqa: F401  (registers envs + robots)
+    from maniskill_tpu.building.articulations.cabinet import NUM_SLOTS
+    from maniskill_tpu.utils.registration import make
+
+    env = make("OpenCabinetDrawer-v1", num_envs=8, obs_mode="state")
+    base = env.unwrapped
+    env.reset(seed=0)
+
+    inst = base.cab_inst
+    # the batch genuinely mixes structures
+    assert len(np.unique(inst.variant_ids)) >= 2
+    assert not np.all(inst.active == inst.active[0])
+
+    # handle world positions differ across envs with different variants
+    hp = np.asarray(base.handle_pos)
+    assert np.ptp(hp, axis=0).max() > 0.01
+
+    # open every slot to 90% of ITS OWN per-env limit; locked slots (range
+    # [0,0]) get a 0.05 violation instead. The limit solver must push locked
+    # slots back to 0 while active slots hold their in-range opening.
+    target_q = np.maximum(0.9 * inst.limits[..., 1], 0.05).astype(np.float32)
+    q = base.scene.data.qpos
+    q = q.at[:, base.cab_meta.slot_qadrs].set(jnp.asarray(target_q))
+    base.scene.bind(base.scene.data.replace(qpos=q))
+    for _ in range(20):
+        env.step(jnp.zeros((8,) + base.single_action_space.shape))
+    qs = np.asarray(base.scene.data.qpos[:, base.cab_meta.slot_qadrs])
+    active = inst.active
+    # locked slots pushed back into their [0, 0] range
+    assert np.abs(qs[~active]).max() < 5e-3, qs[~active]
+    # active slots retain most of their opening (within their real limits)
+    assert (qs[active] > 0.8 * target_q[active]).all(), qs[active]
+
+    # evaluate() sees the opened target as open
+    info = jax.jit(base.evaluate)()
+    frac = np.asarray(info["open_frac"])
+    assert frac.min() > 0.6, frac
