@@ -18,3 +18,8 @@ from .widowxai.widowxai import WidowXAI
 from .koch.koch import Koch
 from .xarm.xarm7 import XArm7
 from .floating_robotiq.floating_robotiq import FloatingRobotiq2F85Gripper
+from .widowx.widowx250s import (
+    WidowX250S,
+    WidowX250SBridgeDatasetFlatTable,
+    WidowX250SBridgeDatasetSink,
+)

@@ -38,6 +38,8 @@ def _pose7(pose) -> np.ndarray:
             raw = raw[0]
         return raw
     raw = np.asarray(pose, np.float64)
+    if raw.shape == (3,):  # position-only shorthand
+        return np.concatenate([raw, [1, 0, 0, 0]])
     return raw
 
 

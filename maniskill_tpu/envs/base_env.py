@@ -270,6 +270,10 @@ class BaseEnv(gym.Env):
         }
         self.scene.human_render_cameras = self._human_render_cameras
 
+    def _before_control_step(self):
+        """Task hook run before actions are applied each control step,
+        inside the fused jit (traced ops only)."""
+
     def _after_control_step(self):
         """Task hook run after the physics substeps of each control step,
         inside the fused jit (traced ops only)."""
@@ -433,6 +437,9 @@ class BaseEnv(gym.Env):
         scene = self.scene
         scene.bind(data)
         scene._reset_mask = None
+        # pre-control-step task hook (sapien_env.py _before_control_step):
+        # e.g. per-step camera-mount pose randomization in digital twins
+        self._before_control_step()
         self.agent.set_action(action)
 
         model = scene.model

@@ -402,3 +402,88 @@ class HumanoidRun(HumanoidEnv):
             * self.standing_rew()
         )
         return (1.0 + run) / 2
+
+
+class HumanoidEnvHard(HumanoidEnv):
+    """Hard variants (reference humanoid.py:417-459, shipped commented-out
+    pending SAC tuning — registered and working here): fully random root
+    orientation + uniform-random qpos within joint limits at reset, and the
+    free-joint root velocities appended to the observation."""
+
+    def _initialize_episode(self, env_idx: jax.Array, options: dict):
+        rng = self._batched_episode_rng
+        dof = self.agent.robot.dof
+        lim = self.agent.robot.qlimits  # (dof, 2) or (B, dof, 2)
+        if lim.ndim == 3:
+            lo, hi = lim[..., 0], lim[..., 1]
+        else:
+            lo, hi = lim[None, :, 0], lim[None, :, 1]
+        u = rng.uniform(0.0, 1.0, (dof,))
+        self.agent.robot.set_qpos(lo + u * (hi - lo))
+        self.agent.robot.set_qvel(jnp.zeros_like(u))
+        q = rng.quaternions()
+        root = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    jnp.asarray([0.0, 0.0, 1.5], jnp.float32),
+                    (self.num_envs, 3),
+                ),
+                q,
+            ],
+            axis=-1,
+        )
+        self.agent.robot.set_root_pose(root)
+        self.agent.controller.reset()
+
+    def _get_obs_state_dict(self, info: dict):
+        obs = super()._get_obs_state_dict(info)
+        torso = self.agent.robot.links_map["torso"]
+        obs.update(
+            root_vel=torso.linear_velocity,
+            root_quat_vel=torso.angular_velocity,
+        )
+        return obs
+
+    def evaluate(self):
+        info = dict(
+            torso_xmat=self.torso_xmat(),
+            cmass_linvel=self.center_of_mass_velocity,
+        )
+        # no fall-over termination: recovery from arbitrary states is the task
+        return info
+
+
+@register_env("MS-HumanoidStandHard-v1", max_episode_steps=1000)
+class HumanoidStandHard(HumanoidEnvHard):
+    def compute_normalized_dense_reward(self, obs: Any, action, info: dict):
+        small_control = (4 + self.control_rew(action)) / 5
+        return (
+            small_control
+            * self.standing_rew()
+            * self.upright_rew(info)
+            * self.dont_move_rew(info)
+        )
+
+
+@register_env("MS-HumanoidWalkHard-v1", max_episode_steps=1000)
+class HumanoidWalkHard(HumanoidEnvHard):
+    def compute_normalized_dense_reward(self, obs: Any, action, info: dict):
+        small_control = (4 + self.control_rew(action)) / 5
+        return (
+            small_control
+            * self.standing_rew()
+            * self.upright_rew(info)
+            * self.move_x_rew(info, _WALK_SPEED)
+        )
+
+
+@register_env("MS-HumanoidRunHard-v1", max_episode_steps=1000)
+class HumanoidRunHard(HumanoidEnvHard):
+    def compute_normalized_dense_reward(self, obs: Any, action, info: dict):
+        small_control = (4 + self.control_rew(action)) / 5
+        return (
+            small_control
+            * self.standing_rew()
+            * self.upright_rew(info)
+            * self.move_x_rew(info, _RUN_SPEED)
+        )
