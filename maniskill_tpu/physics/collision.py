@@ -173,13 +173,21 @@ def sphere_capsule(p1, q1, s1, p2, q2, s2) -> List[Cand]:
 
 
 def box_box(p1, q1, s1, p2, q2, s2) -> List[Cand]:
-    """Box-box via face-axis SAT normal + corner containment.
+    """Box-box via face-axis SAT normal + reference-face clip manifold.
 
     The separating-axis test over the 6 face normals picks ONE consistent
-    contact normal (the minimum-overlap axis) — corner-vs-SDF alone gives
-    ambiguous normals for face-face stacking. Contact points are the corners
-    of each box contained in (or near) the other; depth is measured along the
-    SAT normal. Edge-edge cases are approximated by the deepest corner.
+    contact normal (the minimum-overlap axis). The manifold is the classic
+    face-clip construction (what PhysX/MuJoCo do for box stacks): project the
+    incident face onto the reference face plane, then emit
+      - the 4 incident-face corners clamped into the reference face rect, and
+      - the 4 reference face rect corners that lie inside the projected
+        incident face,
+    with depth taken from the incident-plane equation at each point. This
+    covers the full intersection patch — in particular a gripper pad whose
+    face overhangs the grasped box still gets contact points along the box's
+    edge, so pinch grips resist roll (raw corner containment degenerates to a
+    1-2 point line contact there and the grasped object rolls out).
+    Edge-edge cases are approximated by the clamped corners. 8 static rows.
     """
     R1 = rc.quaternion_to_matrix(q1)  # (..., 3, 3), columns = box axes
     R2 = rc.quaternion_to_matrix(q2)
@@ -201,57 +209,144 @@ def box_box(p1, q1, s1, p2, q2, s2) -> List[Cand]:
     overlaps = jnp.stack(overlaps, axis=-1)  # (..., 6)
     signed = jnp.stack(signed, axis=-1)
     sep = jnp.min(overlaps, axis=-1)  # min overlap; < 0 -> separated
-    k = jnp.argmin(overlaps, axis=-1)  # (...,)
+    k = jnp.argmin(overlaps, axis=-1).astype(jnp.int32)  # (...,)
     axes_st = jnp.stack(axes, axis=-2)  # (..., 6, 3)
-    a_min = jnp.take_along_axis(axes_st, k[..., None, None].astype(jnp.int32), axis=-2)[
-        ..., 0, :
-    ]
+    a_min = jnp.take_along_axis(axes_st, k[..., None, None], axis=-2)[..., 0, :]
     sgn = jnp.sign(
-        jnp.take_along_axis(signed, k[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        jnp.take_along_axis(signed, k[..., None], axis=-1)[..., 0]
     )
     sgn = jnp.where(sgn == 0.0, 1.0, sgn)
     # normal points from box1 toward box2 (push geom2 out along +n)
     n = a_min * sgn[..., None]
 
-    # supports of each box along the SAT normal
-    r1n = sum(
-        jnp.abs(jnp.sum(n * R1[..., :, i], axis=-1)) * s1[..., i] for i in range(3)
-    )
-    r2n = sum(
-        jnp.abs(jnp.sum(n * R2[..., :, i], axis=-1)) * s2[..., i] for i in range(3)
-    )
-
-    out = []
-    corners = [
-        jnp.asarray([sx, sy, sz], jnp.float32)
-        for sx in (-1.0, 1.0)
-        for sy in (-1.0, 1.0)
-        for sz in (-1.0, 1.0)
-    ]
     separated = sep < -MARGIN
-    # reference face = box owning the min-overlap axis; only the INCIDENT
-    # box's corners generate contacts (avoids a doubled, Jacobi-divergent
-    # manifold for face-face stacking). The incident box is selected
-    # per-env with a where — 8 static rows total, not 16 (contact-row count
-    # drives solver HBM traffic).
     ref_is_1 = k < 3
-    for c in corners:
-        corner2 = p2 + rc.quaternion_apply(q2, s2 * c)
-        dist2, _ = _box_sdf_local(_to_local(corner2, p1, q1), s1)
-        # penetration measured along the SAT normal (SDF only gates
-        # containment — its distance is to the NEAREST face, which is wrong
-        # for corners lying on lateral faces)
-        pen2 = r1n - jnp.sum((corner2 - p1) * n, axis=-1)
-        d2 = jnp.where(dist2 > MARGIN, BAD_DEPTH, pen2)
 
-        corner1 = p1 + rc.quaternion_apply(q1, s1 * c)
-        dist1, _ = _box_sdf_local(_to_local(corner1, p2, q2), s2)
-        pen1 = r2n + jnp.sum((corner1 - p2) * n, axis=-1)
-        d1 = jnp.where(dist1 > MARGIN, BAD_DEPTH, pen1)
+    def sel(a, b, cond):
+        return jnp.where(cond[..., None], a, b)
 
-        corner = jnp.where(ref_is_1[..., None], corner2, corner1)
-        depth = jnp.where(separated, BAD_DEPTH, jnp.where(ref_is_1, d2, d1))
-        out.append((corner, n, depth))
+    # reference box = owner of the SAT axis; incident box = the other
+    p_r = sel(p1, p2, ref_is_1)
+    p_i = sel(p2, p1, ref_is_1)
+    s_r = sel(s1, s2, ref_is_1)
+    s_i = sel(s2, s1, ref_is_1)
+    R_r = jnp.where(ref_is_1[..., None, None], R1, R2)
+    R_i = jnp.where(ref_is_1[..., None, None], R2, R1)
+    n_ri = sel(n, -n, ref_is_1)  # points from ref box toward inc box
+
+    # reference face frame: a = SAT axis, (u, v) = the other two box axes
+    a_idx = k % 3
+    oh_a = jax.nn.one_hot(a_idx, 3, dtype=p1.dtype)  # (..., 3)
+    oh_u = jax.nn.one_hot((a_idx + 1) % 3, 3, dtype=p1.dtype)
+    oh_v = jax.nn.one_hot((a_idx + 2) % 3, 3, dtype=p1.dtype)
+    col = lambda R, oh: jnp.einsum("...ij,...j->...i", R, oh)
+    u = col(R_r, oh_u)
+    v = col(R_r, oh_v)
+    su = jnp.sum(s_r * oh_u, axis=-1)  # (...,)
+    sv = jnp.sum(s_r * oh_v, axis=-1)
+    sa = jnp.sum(s_r * oh_a, axis=-1)
+    c_face = p_r + n_ri * sa[..., None]  # ref face center (face toward inc)
+
+    # incident face: inc-box axis most anti-parallel to n_ri
+    dots = jnp.einsum("...ij,...i->...j", R_i, n_ri)  # (..., 3)
+    j = jnp.argmax(jnp.abs(dots), axis=-1).astype(jnp.int32)
+    oh_j = jax.nn.one_hot(j, 3, dtype=p1.dtype)
+    oh_e1 = jax.nn.one_hot((j + 1) % 3, 3, dtype=p1.dtype)
+    oh_e2 = jax.nn.one_hot((j + 2) % 3, 3, dtype=p1.dtype)
+    dj = jnp.sum(dots * oh_j, axis=-1)
+    f_sign = -jnp.sign(jnp.where(dj == 0.0, 1.0, dj))
+    f_n = col(R_i, oh_j) * f_sign[..., None]  # inc face normal, toward ref
+    e1 = col(R_i, oh_e1)
+    e2 = col(R_i, oh_e2)
+    sj = jnp.sum(s_i * oh_j, axis=-1)
+    he1 = jnp.sum(s_i * oh_e1, axis=-1)
+    he2 = jnp.sum(s_i * oh_e2, axis=-1)
+    c_inc = p_i + f_n * sj[..., None]  # incident face center
+
+    # project incident-face corners into (s, t, h): ref-face tangent coords +
+    # height along n_ri (h < 0 = penetrating below the ref face)
+    def proj(pt):
+        rel = pt - c_face
+        return (
+            jnp.sum(rel * u, axis=-1),
+            jnp.sum(rel * v, axis=-1),
+            jnp.sum(rel * n_ri, axis=-1),
+        )
+
+    csigns = ((-1.0, -1.0), (1.0, -1.0), (1.0, 1.0), (-1.0, 1.0))
+    cs, ct, ch = [], [], []
+    for sx, sy in csigns:
+        pt = c_inc + e1 * (sx * he1)[..., None] + e2 * (sy * he2)[..., None]
+        s_, t_, h_ = proj(pt)
+        cs.append(s_)
+        ct.append(t_)
+        ch.append(h_)
+
+    # incident plane in ref coords: h(s, t) = h0 + beta*(s-s0) + gamma*(t-t0)
+    # (exact — the face is planar); solved from the two edge vectors
+    As, At, Ah = cs[1] - cs[0], ct[1] - ct[0], ch[1] - ch[0]
+    Bs, Bt, Bh = cs[3] - cs[0], ct[3] - ct[0], ch[3] - ch[0]
+    det = As * Bt - At * Bs
+    det_safe = jnp.where(jnp.abs(det) < 1e-9, 1.0, det)
+    degen = jnp.abs(det) < 1e-9  # incident face edge-on to the ref face
+    beta = jnp.where(degen, 0.0, (Ah * Bt - Bh * At) / det_safe)
+    gamma = jnp.where(degen, 0.0, (As * Bh - Bs * Ah) / det_safe)
+
+    def h_at(s_, t_):
+        return ch[0] + beta * (s_ - cs[0]) + gamma * (t_ - ct[0])
+
+    # inside test for the projected incident face (a parallelogram): solve
+    # pt - center = alpha*(A/2) + tau*(B/2); inside iff |alpha|,|tau| <= 1
+    mcs = 0.25 * sum(cs)
+    mct = 0.25 * sum(ct)
+    a_len = jnp.sqrt(As * As + At * At)
+    b_len = jnp.sqrt(Bs * Bs + Bt * Bt)
+    tol_a = 1.0 + 2.0 * MARGIN / jnp.maximum(a_len, 1e-6)
+    tol_b = 1.0 + 2.0 * MARGIN / jnp.maximum(b_len, 1e-6)
+
+    def in_inc(s_, t_):
+        ds_, dt_ = s_ - mcs, t_ - mct
+        alpha = 2.0 * (ds_ * Bt - dt_ * Bs) / det_safe
+        tau = 2.0 * (At * ds_ - As * dt_) / det_safe
+        return (~degen) & (jnp.abs(alpha) <= tol_a) & (jnp.abs(tau) <= tol_b)
+
+    rows = []  # (s, t, h, valid)
+    # rows 1-4: incident corners clamped into the reference face rect
+    for i in range(4):
+        s_cl = jnp.clip(cs[i], -su, su)
+        t_cl = jnp.clip(ct[i], -sv, sv)
+        h_cl = h_at(s_cl, t_cl)
+        # a clamped point must still lie on the incident patch; an unclamped
+        # corner is on it by construction
+        moved = (jnp.abs(s_cl - cs[i]) > 1e-7) | (jnp.abs(t_cl - ct[i]) > 1e-7)
+        ok = jnp.where(moved, in_inc(s_cl, t_cl), True)
+        rows.append((s_cl, t_cl, jnp.where(moved, h_cl, ch[i]), ok))
+    # rows 5-8: reference face rect corners inside the projected incident face
+    for sx, sy in csigns:
+        s0 = jnp.broadcast_to(sx * su, su.shape)
+        t0 = jnp.broadcast_to(sy * sv, sv.shape)
+        rows.append((s0, t0, h_at(s0, t0), in_inc(s0, t0)))
+
+    # drop near-coincident rows (a clamped incident corner landing on a ref
+    # rect corner would otherwise double that point's impulse — the solver
+    # iterates Jacobi-style, so duplicated rows over-stiffen the manifold)
+    scale = jnp.maximum(jnp.maximum(su, sv), 1e-3)
+    eps2 = (1e-3 * scale) ** 2
+    out = []
+    for m, (s_m, t_m, h_m, ok_m) in enumerate(rows):
+        dup = jnp.zeros_like(ok_m)
+        for l in range(m):
+            s_l, t_l, _, ok_l = rows[l]
+            near = (s_m - s_l) ** 2 + (t_m - t_l) ** 2 < eps2
+            dup = dup | (near & ok_l)
+        depth = jnp.where(ok_m & ~dup & ~separated, -h_m, BAD_DEPTH)
+        pos = (
+            c_face
+            + u * s_m[..., None]
+            + v * t_m[..., None]
+            + n_ri * jnp.minimum(h_m, 0.0)[..., None]
+        )
+        out.append((pos, n, depth))
     return out
 
 
