@@ -153,31 +153,72 @@ class PDJointPosMimicControllerConfig(PDJointPosControllerConfig):
 
 
 class PDJointPosMimicController(PDJointPosController):
+    def _mimic_tables(self):
+        """Static (leader_index, multiplier, offset) per joint.
+
+        Without an explicit ``mimic`` map every joint mimics the first joint
+        1:1 (two-finger grippers). With a map, followers take
+        ``mult * leader + offset`` (e.g. the ability hand's q2 linkage).
+        """
+        names = list(self.config.joint_names)
+        mimic = self.config.mimic or {
+            n: dict(joint=names[0], multiplier=1.0, offset=0.0)
+            for n in names[1:]
+        }
+        leaders = [n for n in names if n not in mimic]
+        lidx = np.zeros(len(names), np.int32)
+        mult = np.ones(len(names), np.float32)
+        off = np.zeros(len(names), np.float32)
+        for i, n in enumerate(names):
+            if n in mimic:
+                spec = mimic[n]
+                lidx[i] = leaders.index(spec["joint"])
+                mult[i] = spec.get("multiplier", 1.0)
+                off[i] = spec.get("offset", 0.0)
+            else:
+                lidx[i] = leaders.index(n)
+        return leaders, lidx, mult, off
+
     def _initialize_action_space(self):
-        # action dim = number of leader joints (typically 1, e.g. gripper)
+        # action dim = number of leader (non-mimicking) joints
         super()._initialize_action_space()
-        n_leaders = 1
-        self._lo = np.asarray(self._lo)[:n_leaders]
-        self._hi = np.asarray(self._hi)[:n_leaders]
+        leaders, self._lidx, self._mult, self._off = self._mimic_tables()
+        names = list(self.config.joint_names)
+        keep = np.asarray([names.index(n) for n in leaders], np.int64)
+        self._lo = np.asarray(self._lo)[keep]
+        self._hi = np.asarray(self._hi)[keep]
         if self.config.normalize_action:
-            self._action_space = gym.spaces.Box(-1.0, 1.0, (n_leaders,), np.float32)
+            self._action_space = gym.spaces.Box(
+                -1.0, 1.0, (len(leaders),), np.float32
+            )
         else:
-            self._action_space = gym.spaces.Box(lo, hi, dtype=np.float32)
+            self._action_space = gym.spaces.Box(
+                self._lo, self._hi, dtype=np.float32
+            )
+        self._leader_qadrs = np.asarray(self.q_adrs)[keep]
 
     def set_action(self, action: jax.Array):
         action = jnp.asarray(action, jnp.float32)
         if self.config.normalize_action:
             action = self._clip_and_scale_action(action, self._lo, self._hi)
-        # broadcast leader command to all mimicking joints
-        n = len(self.joints)
-        target = jnp.broadcast_to(action[..., :1], (self.scene.num_envs, n))
+        # leader targets, then linkage expansion to all joints
+        leader_t = jnp.broadcast_to(
+            action, (self.scene.num_envs, self._lo.shape[0])
+        )
         if self.config.use_delta:
             base = (
-                self._target_qpos()
+                self.scene.data.drive_target[:, self._leader_dof_adrs()]
                 if self.config.use_target
-                else self.scene.data.qpos[:, self.q_adrs]
+                else self.scene.data.qpos[:, self._leader_qadrs]
             )
-            target = base + target
+            leader_t = base + leader_t
+        target = leader_t[:, self._lidx] * self._mult + self._off
         lims = self._joint_limits()
         target = jnp.clip(target, lims[:, 0], lims[:, 1])
         self._set_target(target)
+
+    def _leader_dof_adrs(self):
+        names = list(self.config.joint_names)
+        leaders, _, _, _ = self._mimic_tables()
+        keep = np.asarray([names.index(n) for n in leaders], np.int64)
+        return np.asarray(self.dof_adrs)[keep]

@@ -82,9 +82,19 @@ class Kinematics:
         iterations: int = 8,
         damping: float = 0.05,
     ) -> jax.Array:
-        """Damped-least-squares IK (kinematics.py:185-259 LM-solve parity)."""
+        """Damped-least-squares IK (kinematics.py:185-259 LM-solve parity).
+
+        Joint-limit aware: each iterate is clamped to ``model.dof_limit`` and
+        a nullspace bias pulls redundant dofs toward mid-range — without
+        this, large reorientations (e.g. a 90-degree wrist pivot) converge to
+        out-of-limit solutions that the position controller then clamps into
+        a completely different pose."""
         tp = target_pose[:, :3]
         tq = target_pose[:, 3:]
+        lim = self.scene.model.dof_limit[..., self.dof_adrs, :]
+        lo, hi = lim[..., 0], lim[..., 1]
+        mid = 0.5 * (lo + hi)
+        has_mid = jnp.isfinite(mid)
 
         def body(i, q):
             data_fk = self._fk(q)
@@ -108,6 +118,11 @@ class Kinematics:
             )
             y = jnp.linalg.solve(JJt, err[..., None])[..., 0]
             dq = jnp.einsum("bik,bi->bk", J, y)
-            return q + dq
+            # nullspace: project the mid-range pull through I - J^+ J
+            bias = jnp.where(has_mid, mid - q, 0.0) * 0.2
+            Jb = jnp.einsum("bik,bk->bi", J, bias)
+            yb = jnp.linalg.solve(JJt, Jb[..., None])[..., 0]
+            bias_null = bias - jnp.einsum("bik,bi->bk", J, yb)
+            return jnp.clip(q + dq + bias_null, lo, hi)
 
         return jax.lax.fori_loop(0, iterations, body, q0)
