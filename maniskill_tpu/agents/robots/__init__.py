@@ -23,3 +23,18 @@ from .widowx.widowx250s import (
     WidowX250SBridgeDatasetFlatTable,
     WidowX250SBridgeDatasetSink,
 )
+from .inspire_hand import (
+    FixedInspireHandLeft,
+    FixedInspireHandRight,
+    FloatingInspireHandLeft,
+    FloatingInspireHandRight,
+)
+from .floating_ability_hand import FloatingAbilityHandRight
+from .xarm.xarm7_ability import XArm7Ability
+from .widowxai.widowxai_wristcam import WidowXAIWristCam
+from .xarm6.xarm6_wristcam import XArm6NoGripperWristCamera, XArm6RobotiqWristCamera
+from .allegro_hand.allegro import AllegroHandLeft
+from .stompy import Stompy
+from .googlerobot import GoogleRobot
+from .xlerobot import Xlerobot
+from .lerobot import LeRobotRealAgent

@@ -209,3 +209,39 @@ class AllegroHandRightTouch(AllegroHandRight):
         return jnp.stack(
             [l.get_net_contact_forces() for l in self.tip_links], axis=-2
         )
+
+
+@register_agent()
+class AllegroHandLeft(AllegroHandRight):
+    """Left Allegro hand (reference allegro.py AllegroHandLeft): the right
+    hand mirrored across the xz-plane (y -> -y; rotation axes and quats
+    transform as pseudo-vectors under the reflection)."""
+
+    uid = "allegro_hand_left"
+
+    def build_description(self):
+        import dataclasses as _dc
+
+        b = super().build_description()
+        for i, spec in enumerate(b.links):
+            pos = np.asarray(spec.origin_pos, np.float64).copy()
+            pos[1] = -pos[1]
+            q = np.asarray(spec.origin_quat, np.float64).copy()
+            q[1], q[3] = -q[1], -q[3]  # (w, x, y, z) -> (w, -x, y, -z)
+            ax = np.asarray(spec.axis, np.float64).copy()
+            ax[0], ax[2] = -ax[0], -ax[2]
+            shapes = {}
+            for field in ("collisions", "visuals"):
+                new = []
+                for s in getattr(spec, field):
+                    sp = np.asarray(s.pos, np.float64).copy()
+                    sp[1] = -sp[1]
+                    sq = np.asarray(s.quat, np.float64).copy()
+                    sq[1], sq[3] = -sq[1], -sq[3]
+                    new.append(_dc.replace(s, pos=tuple(sp), quat=tuple(sq)))
+                shapes[field] = new
+            b.links[i] = _dc.replace(
+                spec, origin_pos=tuple(pos), origin_quat=tuple(q),
+                axis=tuple(ax), **shapes,
+            )
+        return b

@@ -13,7 +13,7 @@ from ...base_agent import BaseAgent, Keyframe
 from ...registration import register_agent
 from ...controllers import PDJointPosControllerConfig
 from ....building.articulation_builder import ArticulationBuilder, LinkSpec, ShapeSpec
-from ....physics.types import BOX, CAPSULE, HINGE
+from ....physics.types import BOX, CAPSULE, FIXED, HINGE
 from ....utils import common
 from ....utils.geometry.rotation_conversions import quaternion_apply
 
@@ -42,34 +42,22 @@ JOINT_NAMES = [
 ]
 
 
-@register_agent()
-class SO100(BaseAgent):
-    uid = "so100"
-    fix_root_link = True
-    disable_self_collisions = True
+def so100_arm_links(prefix="", parent=None, origin_pos=(0, 0, 0),
+                    origin_quat=(1, 0, 0, 0), joint_names=None):
+    """The SO-ARM100 chain as LinkSpecs, optionally renamed/re-rooted so a
+    multi-arm robot (xlerobot) can instantiate it twice."""
+    import dataclasses as _dc
 
-    keyframes = dict(
-        rest=Keyframe(
-            qpos=np.array([0, -1.5708, 1.5708, 0.66, 0, -1.1]),
-            pose=np.array([0, 0, 0, 1, 0, 0, 0]),
-        ),
-        zero=Keyframe(
-            qpos=np.zeros(6), pose=np.array([0, 0, 0, 1, 0, 0, 0])
-        ),
+    cap = lambda r, hl, pos=(0, 0, 0), quat=(1, 0, 0, 0): ShapeSpec(
+        CAPSULE, [r, hl, 0], pos, quat, friction=1.0
     )
-
-    def build_description(self):
-        b = ArticulationBuilder(self.scene)
-        cap = lambda r, hl, pos=(0, 0, 0), quat=(1, 0, 0, 0): ShapeSpec(
-            CAPSULE, [r, hl, 0], pos, quat, friction=1.0
-        )
-        box = lambda hs, pos=(0, 0, 0), quat=(1, 0, 0, 0), fric=2.0: ShapeSpec(
-            BOX, hs, pos, quat, friction=fric
-        )
-        links = [
-            LinkSpec(
-                "Base", None, mass=0.1932,
-                com=(-2.46e-07, 0.03114, 0.01757),
+    box = lambda hs, pos=(0, 0, 0), quat=(1, 0, 0, 0), fric=2.0: ShapeSpec(
+        BOX, hs, pos, quat, friction=fric
+    )
+    links = [
+        LinkSpec(
+            "Base", None, mass=0.1932,
+            com=(-2.46e-07, 0.03114, 0.01757),
                 inertia=_I(1.3703e-4, 1.6909e-4, 1.451e-4, 2.1e-08, 4.2e-09, 2.265e-05),
                 collisions=[box((0.04, 0.05, 0.025), (0, 0.03, 0.02))],
                 visuals=[box((0.04, 0.05, 0.025), (0, 0.03, 0.02))],
@@ -133,10 +121,30 @@ class SO100(BaseAgent):
                 joint_name="Fixed_Jaw_tip_joint", origin_pos=(0.01, -0.097, 0),
                 mass=1e-4, inertia=np.full(3, 1e-8),
             ),
-        ]
-        for l in links:
-            b.add_link(l)
-        return b
+    ]
+    jmap = dict(zip(JOINT_NAMES, joint_names or JOINT_NAMES))
+    import dataclasses as _dc2
+    out = []
+    for i, l in enumerate(links):
+        kw = {}
+        kw["name"] = prefix + l.name
+        if l.parent is None:
+            kw["parent"] = parent
+            if parent is not None:
+                kw["joint_type"] = FIXED
+                kw["joint_name"] = prefix + "Base_mount"
+                kw["origin_pos"] = tuple(origin_pos)
+                kw["origin_quat"] = tuple(origin_quat)
+        else:
+            kw["parent"] = prefix + l.parent
+        if l.joint_name is not None and l.parent is not None:
+            kw["joint_name"] = jmap.get(l.joint_name, prefix + l.joint_name)
+        out.append(_dc2.replace(l, **kw))
+    return out
+
+
+class _SO100Mixin:
+    """Controller + gripper helpers shared by SO100-family agents."""
 
     @property
     def _controller_configs(self):
@@ -190,3 +198,26 @@ class SO100(BaseAgent):
     def is_static(self, threshold: float = 0.2):
         qvel = self.robot.qvel[..., :-1]
         return jnp.max(jnp.abs(qvel), axis=1) <= threshold
+
+
+@register_agent()
+class SO100(_SO100Mixin, BaseAgent):
+    uid = "so100"
+    fix_root_link = True
+    disable_self_collisions = True
+
+    keyframes = dict(
+        rest=Keyframe(
+            qpos=np.array([0, -1.5708, 1.5708, 0.66, 0, -1.1]),
+            pose=np.array([0, 0, 0, 1, 0, 0, 0]),
+        ),
+        zero=Keyframe(
+            qpos=np.zeros(6), pose=np.array([0, 0, 0, 1, 0, 0, 0])
+        ),
+    )
+
+    def build_description(self):
+        b = ArticulationBuilder(self.scene)
+        for l in so100_arm_links():
+            b.add_link(l)
+        return b

@@ -89,3 +89,73 @@ class UnitreeH1Simplified(UnitreeH1):
     """Collision-simplified variant (already primitive here; uid parity)."""
 
     uid = "unitree_h1_simplified"
+
+
+@register_agent()
+class UnitreeH1WithHandsUpperBodyOnly(UnitreeH1):
+    """H1 with wrist rolls + an actuated right-hand thumb chain (counterpart
+    of mani_skill/agents/robots/unitree_h1/h1_dextrous_hand.py:143-263 — the
+    reference actuates exactly the 8 shoulder/elbow joints + 2 wrists + 4
+    right-thumb joints; legs/torso run passive)."""
+
+    uid = "unitree_h1_with_hands_upper_body_only"
+    urdf_path = os.path.join(
+        PACKAGE_ASSET_DIR, "robots", "unitree_h1", "h1_with_hand.urdf"
+    )
+
+    body_joints = [
+        "left_shoulder_pitch_joint", "right_shoulder_pitch_joint",
+        "left_shoulder_roll_joint", "right_shoulder_roll_joint",
+        "left_shoulder_yaw_joint", "right_shoulder_yaw_joint",
+        "left_elbow_joint", "right_elbow_joint",
+    ]
+    arm_hand_joints = [
+        "left_hand_joint", "right_hand_joint",
+        "R_thumb_proximal_yaw_joint", "R_thumb_proximal_pitch_joint",
+        "R_thumb_intermediate_joint", "R_thumb_distal_joint",
+    ]
+    passive_joints = [
+        "left_hip_yaw_joint", "left_hip_roll_joint", "left_hip_pitch_joint",
+        "left_knee_joint", "left_ankle_joint",
+        "right_hip_yaw_joint", "right_hip_roll_joint",
+        "right_hip_pitch_joint", "right_knee_joint", "right_ankle_joint",
+        "torso_joint",
+    ]
+
+    keyframes = dict(
+        standing=Keyframe(
+            pose=np.array([0, 0, 0.975, 1, 0, 0, 0]),
+            qpos=np.zeros(25),
+        )
+    )
+
+    @property
+    def _controller_configs(self):
+        from ...controllers import PassiveControllerConfig
+
+        def pd(joints, **kw):
+            return PDJointPosControllerConfig(
+                joint_names=joints, stiffness=self.body_stiffness,
+                damping=self.body_damping,
+                force_limit=self.body_force_limit, **kw,
+            )
+
+        passive = PassiveControllerConfig(
+            joint_names=self.passive_joints, damping=5.0, force_limit=200
+        )
+        return dict(
+            pd_joint_pos=dict(
+                body=pd(self.body_joints, lower=None, upper=None,
+                        normalize_action=False),
+                arm_hands=pd(self.arm_hand_joints, lower=None, upper=None,
+                             normalize_action=False),
+                legs=passive, balance_passive_force=False,
+            ),
+            pd_joint_delta_pos=dict(
+                body=pd(self.body_joints, lower=-0.2, upper=0.2,
+                        use_delta=True),
+                arm_hands=pd(self.arm_hand_joints, lower=-0.2, upper=0.2,
+                             use_delta=True),
+                legs=passive, balance_passive_force=False,
+            ),
+        )
