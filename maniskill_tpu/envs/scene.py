@@ -174,6 +174,19 @@ class ManiSkillScene:
         self._data = data
         return self
 
+    def render_key(self) -> jax.Array:
+        """Per-call PRNG key for stochastic shaders (rt sampling jitter).
+        Derived from the qpos state so each physics state gets fresh sample
+        jitter while the render stays a pure function of the sim state."""
+        import jax.random
+
+        seed = jnp.sum(
+            jax.lax.bitcast_convert_type(
+                self.data.qpos[:, :1].ravel(), jnp.int32
+            )
+        ).astype(jnp.uint32)
+        return jax.random.fold_in(jax.random.PRNGKey(7), seed)
+
     def masked(self, new: jax.Array, cur: jax.Array) -> jax.Array:
         """Apply the partial-reset mask to a pending write (scene.py:950-986
         reset-mask semantics, expressed functionally)."""

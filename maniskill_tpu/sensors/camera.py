@@ -128,6 +128,25 @@ class Camera:
         mesh = self._get_mesh(hidden_actors)
         gpos, gquat = geom_poses(self.scene.model, self.scene.data)
         wv = mesh.world_vertices(gpos, gquat)
+        pack = self.config.shader_pack
+        if pack.startswith("rt"):
+            # ray-traced shader packs (reference render/shaders.py:103-135)
+            from ..render.pathtracer import RT_PACKS, pathtrace
+
+            cfg = RT_PACKS.get(pack, RT_PACKS["rt-fast"])
+            pose = self.world_pose()
+            gl = jnp.asarray(ROS_TO_GL.T, jnp.float32)  # gl cam -> ros cam
+            rot = jnp.einsum(
+                "bij,jk->bik", rc.quaternion_to_matrix(pose.q), gl
+            )  # gl cam -> world
+            return mesh, pathtrace(
+                mesh, wv, pose.p, rot,
+                self.fx, self.fy, self.cx, self.cy,
+                self.config.height, self.config.width,
+                spp=cfg["spp"], bounces=cfg["bounces"],
+                denoise=cfg["denoise"], lights=self.scene.lights,
+                key=self.scene.render_key(),
+            )
         return mesh, rasterize(
             mesh,
             wv,

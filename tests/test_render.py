@@ -149,3 +149,28 @@ def test_heterogeneous_hull_rendering():
     if base.model_ids[0] != base.model_ids[1]:
         assert (rgb[0] != rgb[1]).any()
     env.close()
+
+
+def test_rt_shader_pack():
+    """rt-fast ray-traced shader pack (reference render/shaders.py:103-135):
+    rgb/depth/segmentation contract holds and the image differs from the
+    rasterized one (shadows / sampled lighting)."""
+    env = make("PushCube-v1", num_envs=2, obs_mode="rgb+depth+segmentation",
+               sensor_configs=dict(shader_pack="rt-fast", width=64, height=64))
+    obs, _ = env.reset(seed=0)
+    cam = obs["sensor_data"]["base_camera"]
+    rgb = np.asarray(cam["rgb"])
+    assert rgb.shape == (2, 64, 64, 3) and rgb.dtype == np.uint8
+    assert rgb.std() > 1.0
+    assert np.asarray(cam["depth"]).dtype == np.int16
+    assert (np.asarray(cam["depth"]) > 0).mean() > 0.5
+    assert len(np.unique(np.asarray(cam["segmentation"]))) > 2
+    env.close()
+
+    env2 = make("PushCube-v1", num_envs=2, obs_mode="rgb",
+                sensor_configs=dict(width=64, height=64))
+    obs2, _ = env2.reset(seed=0)
+    raster = np.asarray(obs2["sensor_data"]["base_camera"]["rgb"])
+    # the two shading models must actually differ (rt adds shadows)
+    assert np.abs(raster.astype(int) - rgb.astype(int)).mean() > 2.0
+    env2.close()
