@@ -25,6 +25,7 @@ from ....agents.base_agent import BaseAgent
 from ....agents.controllers import (
     PDJointPosControllerConfig,
 )
+from ....agents.registration import register_agent
 from ....building.articulation_builder import ArticulationBuilder, LinkSpec, ShapeSpec
 from ....building.ground import build_ground
 from ....physics.types import FIXED, HINGE, SPHERE
@@ -81,7 +82,11 @@ def _cap(a, b, r, friction=0.7):
     return _fromto_capsule(a, b, r, friction=friction)
 
 
+@register_agent()
 class HumanoidRobot(BaseAgent):
+    """21-dof dm_control-style humanoid, also exposed as a standalone agent
+    (counterpart of mani_skill/agents/robots/humanoid/humanoid.py:12-118)."""
+
     uid = "humanoid"
     fix_root_link = False  # free-floating root
     disable_self_collisions = True

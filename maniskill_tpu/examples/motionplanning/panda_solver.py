@@ -79,14 +79,48 @@ class PandaMotionPlanningSolver:
             result = self._exec_targets(target)
         return result
 
-    def move_to_pose(self, pose7, steps: Optional[int] = None, refine_steps: int = 0):
+    def move_to_pose(
+        self,
+        pose7,
+        steps: Optional[int] = None,
+        refine_steps: int = 0,
+        arc_steps: int = 1,
+    ):
         """IK to per-env target EE poses (B, 7 wxyz) then follow the joint
-        path (the screw-motion analog; reference motionplanner.py:120-170)."""
+        path (the screw-motion analog; reference motionplanner.py:120-170).
+
+        ``arc_steps > 1`` tracks a Cartesian arc: the pose is lerp/slerp-
+        interpolated and each waypoint is IK-solved from the previous joint
+        solution — large reorientations (90-degree wrist pivots) stay within
+        the DLS solver's local convergence basin and inside joint limits,
+        where a single far-away IK target stalls."""
         pose7 = jnp.asarray(pose7, jnp.float32)
         if pose7.ndim == 1:
             pose7 = jnp.broadcast_to(pose7, (self.base.num_envs, 7))
-        q_goal = self.kin.compute_ik(pose7, self._arm_qpos(), iterations=40)
-        result = self.follow_qpos_path(q_goal, max_steps=steps or 100)
+        result = None
+        cur = self.kin.ee_pose(self.base.scene.data)
+        p0, q0 = cur[:, :3], cur[:, 3:]
+        p1, q1 = pose7[:, :3], pose7[:, 3:]
+        # shortest-arc slerp
+        dot = jnp.sum(q0 * q1, axis=-1, keepdims=True)
+        q0s = jnp.where(dot < 0, -q0, q0)
+        dot = jnp.abs(dot)
+        theta = jnp.arccos(jnp.clip(dot, -1.0, 1.0))
+        sin_t = jnp.maximum(jnp.sin(theta), 1e-6)
+        per = max(1, (steps or 100) // max(1, arc_steps))
+        for j in range(1, arc_steps + 1):
+            a = j / arc_steps
+            if arc_steps == 1:
+                wp = pose7
+            else:
+                p = p0 + (p1 - p0) * a
+                w0 = jnp.sin((1 - a) * theta) / sin_t
+                w1 = jnp.sin(a * theta) / sin_t
+                q = w0 * q0s + w1 * q1
+                q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+                wp = jnp.concatenate([p, q], axis=-1)
+            q_goal = self.kin.compute_ik(wp, self._arm_qpos(), iterations=40)
+            result = self.follow_qpos_path(q_goal, max_steps=per)
         for _ in range(refine_steps):
             result = self._exec_targets(q_goal)
         return result

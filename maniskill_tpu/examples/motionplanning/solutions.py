@@ -1,6 +1,7 @@
 """Scripted motion-planning solutions (counterpart of
-mani_skill/examples/motionplanning/panda/solutions/*.py) — batched: every
-env is solved simultaneously with per-env goal poses.
+mani_skill/examples/motionplanning/panda/solutions/*.py — 12 per-env mplib
+scripts there). Batched: every env is solved simultaneously with per-env
+goal poses computed inside jit; one scripted pass steers the whole batch.
 """
 from __future__ import annotations
 
@@ -14,7 +15,28 @@ _DOWN_Q = np.array([0.0, 1.0, 0.0, 0.0], np.float32)
 
 
 def _pose(p, q=_DOWN_Q):
-    return jnp.concatenate([p, jnp.broadcast_to(jnp.asarray(q), p.shape[:-1] + (4,))], axis=-1)
+    q = jnp.broadcast_to(jnp.asarray(q, jnp.float32), p.shape[:-1] + (4,))
+    return jnp.concatenate([p, q], axis=-1)
+
+
+def _quat_mul(a, b):
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ], axis=-1)
+
+
+def _yawed_down_q(yaw):
+    """Top-down grasp orientation with the gripper closing axis rotated by
+    ``yaw`` about world z. yaw: (B,) -> (B, 4)."""
+    zero = jnp.zeros_like(yaw)
+    qz = jnp.stack([jnp.cos(yaw / 2), zero, zero, jnp.sin(yaw / 2)], axis=-1)
+    down = jnp.broadcast_to(jnp.asarray(_DOWN_Q), qz.shape)
+    return _quat_mul(qz, down)
 
 
 def solve_push_cube(env, debug: bool = False):
@@ -56,7 +78,204 @@ def solve_pick_cube(env, debug: bool = False):
     return result
 
 
+def solve_pull_cube(env, debug: bool = False):
+    """PullCube: hook behind the cube with a closed gripper and drag it onto
+    the goal region (reference solutions/pull_cube.py:20-31)."""
+    base = env.unwrapped
+    mp = PandaMotionPlanningSolver(env)
+    mp.close_gripper(steps=3)
+
+    cube_p = base.obj.pose.p
+    goal_p = base.goal_region.pose.p
+    # pull direction: from cube toward goal; park on the far side of the cube
+    d = goal_p[:, :2] - cube_p[:, :2]
+    d = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-8)
+    above_far = cube_p.at[:, :2].add(-d * 0.06).at[:, 2].set(0.10)
+    mp.move_to_pose(_pose(above_far), refine_steps=2)
+    behind = cube_p.at[:, :2].add(-d * 0.055).at[:, 2].set(0.02)
+    mp.move_to_pose(_pose(behind), refine_steps=3)
+    target = goal_p.at[:, :2].add(-d * 0.04).at[:, 2].set(0.02)
+    result = mp.move_to_pose(_pose(target), refine_steps=6)
+    return result
+
+
+def solve_stack_cube(env, debug: bool = False):
+    """StackCube: grasp A, lift, align above B, release
+    (reference solutions/stack_cube.py:15-100)."""
+    base = env.unwrapped
+    mp = PandaMotionPlanningSolver(env)
+    mp.open_gripper(steps=3)
+
+    a_p = base.cubeA.pose.p
+    hover = a_p.at[:, 2].add(0.08)
+    mp.move_to_pose(_pose(hover), refine_steps=3)
+    mp.move_to_pose(_pose(a_p.at[:, 2].add(0.015)), refine_steps=5)
+    mp.close_gripper(steps=8)
+    mp.move_to_pose(_pose(a_p.at[:, 2].set(0.12)), refine_steps=3)
+    # align by the measured grasp offset: move the TCP by (B_top - A_now)
+    # (reference stack_cube.py:92-96 aligns with the lifted cube's offset)
+    b_p = base.cubeB.pose.p
+    a_now = base.cubeA.pose.p
+    tcp_now = base.agent.tcp.pose.p
+    target_a = b_p.at[:, 2].add(0.04 + 0.001)
+    place = tcp_now + (target_a - a_now)
+    mp.move_to_pose(_pose(place), refine_steps=6)
+    result = mp.open_gripper(steps=6)
+    return result
+
+
+def solve_place_sphere(env, debug: bool = False):
+    """PlaceSphere: pick the sphere and set it into the bin
+    (reference solutions/place_sphere.py flow)."""
+    base = env.unwrapped
+    mp = PandaMotionPlanningSolver(env)
+    mp.open_gripper(steps=3)
+
+    r = float(base.radius)
+    s_p = base.obj.pose.p
+    mp.move_to_pose(_pose(s_p.at[:, 2].add(0.08)), refine_steps=3)
+    mp.move_to_pose(_pose(s_p.at[:, 2].set(r + 0.002)), refine_steps=5)
+    mp.close_gripper(steps=8)
+    mp.move_to_pose(_pose(s_p.at[:, 2].set(0.12)), refine_steps=3)
+    bin_p = base.bin.pose.p
+    block = float(base.block_half_size[0])
+    drop = bin_p.at[:, 2].add(block + r + 0.02)
+    mp.move_to_pose(_pose(drop), refine_steps=6)
+    result = mp.open_gripper(steps=8)
+    return result
+
+
+def solve_stack_pyramid(env, debug: bool = False):
+    """StackPyramid: put A beside B, then C on top of both
+    (reference solutions/stack_pyramid.py flow)."""
+    base = env.unwrapped
+    mp = PandaMotionPlanningSolver(env)
+    half = 0.02
+
+    # 1) move A adjacent to B (leave a cube-width gap along x)
+    mp.open_gripper(steps=3)
+    a_p = base.cubeA.pose.p
+    mp.move_to_pose(_pose(a_p.at[:, 2].add(0.08)), refine_steps=3)
+    mp.move_to_pose(_pose(a_p.at[:, 2].add(0.015)), refine_steps=5)
+    mp.close_gripper(steps=8)
+    mp.move_to_pose(_pose(a_p.at[:, 2].set(0.12)), refine_steps=2)
+    b_p = base.cubeB.pose.p
+    a_now = base.cubeA.pose.p
+    d = a_now[:, :2] - b_p[:, :2]
+    d = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-8)
+    target_a = b_p.at[:, :2].add(d * 2 * half).at[:, 2].set(half + 0.001)
+    place = base.agent.tcp.pose.p + (target_a - a_now)
+    mp.move_to_pose(_pose(place), refine_steps=5)
+    mp.open_gripper(steps=5)
+    lift_away = place.at[:, 2].add(0.10)
+    mp.move_to_pose(_pose(lift_away), refine_steps=2)
+
+    # 2) C on top of the A-B pair midpoint
+    c_p = base.cubeC.pose.p
+    mp.move_to_pose(_pose(c_p.at[:, 2].add(0.08)), refine_steps=3)
+    mp.move_to_pose(_pose(c_p.at[:, 2].add(0.015)), refine_steps=5)
+    mp.close_gripper(steps=8)
+    mp.move_to_pose(_pose(c_p.at[:, 2].set(0.14)), refine_steps=2)
+    a_now = base.cubeA.pose.p
+    b_now = base.cubeB.pose.p
+    c_now = base.cubeC.pose.p
+    mid = (a_now[:, :2] + b_now[:, :2]) / 2
+    target_c = jnp.concatenate(
+        [mid, jnp.full((mid.shape[0], 1), 3 * half + 0.002)], axis=-1
+    )
+    place_c = base.agent.tcp.pose.p + (target_c - c_now)
+    mp.move_to_pose(_pose(place_c), refine_steps=6)
+    result = mp.open_gripper(steps=8)
+    return result
+
+
+def solve_lift_peg_upright(env, debug: bool = False):
+    """LiftPegUpright: grasp the horizontal peg across its axis, lift, pivot
+    the wrist 90 deg so the peg points up, lower, release
+    (reference solutions/lift_peg_upright.py flow)."""
+    base = env.unwrapped
+    mp = PandaMotionPlanningSolver(env)
+    mp.open_gripper(steps=3)
+
+    hl = float(base.peg_half_length)
+    peg_p = base.peg.pose.p
+    # grasp slightly off-center so the free end clears the hand when pivoted
+    grasp_xy = peg_p[:, :2]
+    hover = jnp.concatenate(
+        [grasp_xy, jnp.full((peg_p.shape[0], 1), 0.10)], axis=-1
+    )
+    mp.move_to_pose(_pose(hover), refine_steps=3)
+    grasp = hover.at[:, 2].set(float(base.peg_half_width) + 0.005)
+    mp.move_to_pose(_pose(grasp), refine_steps=5)
+    mp.close_gripper(steps=8)
+    # lift high enough for the peg to clear the table when vertical
+    lifted = grasp.at[:, 2].set(hl + 0.10)
+    mp.move_to_pose(_pose(lifted), refine_steps=4)
+    # pivot +90 deg about world y: peg +x -> -z (upright; the evaluate
+    # criterion accepts either vertical). +90 drives panda joint 6 toward
+    # its wide upper limit (3.75 rad); -90 would hit the 0-rad lower limit
+    tilt = np.array(
+        [np.cos(np.pi / 4), 0, np.sin(np.pi / 4), 0], np.float32
+    )
+    q_up = _quat_mul(jnp.broadcast_to(jnp.asarray(tilt), (peg_p.shape[0], 4)),
+                     jnp.broadcast_to(jnp.asarray(_DOWN_Q),
+                                      (peg_p.shape[0], 4)))
+    # track the 90-degree pivot as a Cartesian arc — a single far IK target
+    # stalls at joint limits (see panda_solver.move_to_pose arc_steps)
+    mp.move_to_pose(_pose(lifted, q_up), steps=60, refine_steps=6,
+                    arc_steps=6)
+    # lower until the peg's bottom end touches the table, then release
+    down = lifted.at[:, 2].set(hl + 0.01)
+    mp.move_to_pose(_pose(down, q_up), refine_steps=6)
+    result = mp.open_gripper(steps=8)
+    return result
+
+
+def solve_pull_cube_tool(env, debug: bool = False):
+    """PullCubeTool: grasp the L-tool handle, sweep its hook behind the
+    out-of-reach cube, and drag it into the workspace
+    (reference solutions/pull_cube_tool.py flow)."""
+    base = env.unwrapped
+    mp = PandaMotionPlanningSolver(env)
+    mp.open_gripper(steps=3)
+
+    hl = float(base.handle_length)
+    h = float(base.height)
+    w = float(base.width)
+    tool_p = base.l_shape_tool.pose.p
+    # grasp the handle near its base; tool center z = h/2
+    grip = tool_p.at[:, 0].add(0.02).at[:, 2].set(h / 2 + 0.005)
+    mp.move_to_pose(_pose(grip.at[:, 2].set(0.10)), refine_steps=3)
+    mp.move_to_pose(_pose(grip), refine_steps=5)
+    mp.close_gripper(steps=8)
+    mp.move_to_pose(_pose(grip.at[:, 2].set(0.10)), refine_steps=2)
+
+    cube_p = base.cube.pose.p
+    B = cube_p.shape[0]
+    # park the hook past the cube's far side: the hook bar's -x face sits at
+    # tool_origin + (hl - hook_len); want it ~0.04 beyond the cube center.
+    # TCP rides 0.02 ahead of the tool origin (grasp offset).
+    hook_clear = hl - float(base.hook_length) - 0.02  # TCP -> hook -x face
+    tcp_x = cube_p[:, 0] + 0.04 - hook_clear
+    # hook bar spans tool-local y in [0, 2w]; center it on the cube
+    tcp_y = cube_p[:, 1] - w
+    hook_hi = jnp.stack([tcp_x, tcp_y, jnp.full((B,), 0.12)], axis=-1)
+    mp.move_to_pose(_pose(hook_hi), refine_steps=3)
+    hook_lo = hook_hi.at[:, 2].set(h / 2 + 0.005)
+    mp.move_to_pose(_pose(hook_lo), refine_steps=4)
+    # drag back toward the robot base
+    pull = hook_lo.at[:, 0].add(-0.35)
+    result = mp.move_to_pose(_pose(pull), steps=80, refine_steps=8)
+    return result
+
+
 SOLUTIONS = {
     "PushCube-v1": solve_push_cube,
     "PickCube-v1": solve_pick_cube,
+    "PullCube-v1": solve_pull_cube,
+    "StackCube-v1": solve_stack_cube,
+    "PlaceSphere-v1": solve_place_sphere,
+    "StackPyramid-v1": solve_stack_pyramid,
+    "LiftPegUpright-v1": solve_lift_peg_upright,
+    "PullCubeTool-v1": solve_pull_cube_tool,
 }
