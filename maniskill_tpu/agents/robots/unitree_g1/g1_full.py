@@ -209,7 +209,7 @@ class UnitreeG1UpperBody(BaseAgent):
         direction (reference g1_upper_body.py:196-290, expressed with the
         palm y axis as the closing axis of the three-finger rubber hand)."""
         from ....utils import common
-        from ....utils.rotation_conversions import quaternion_apply
+        from ....utils.geometry.rotation_conversions import quaternion_apply
 
         thumb = self.robot.links_map[f"{side}_five_link"]
         finger = self.robot.links_map[f"{side}_three_link"]

@@ -85,6 +85,38 @@ register_data_source(
     url="https://storage1.ucsd.edu/datasets/ManiSkill2022-assets/partnet_mobility/dataset/",
     target_path="partnet_mobility/dataset",
 )
+
+# per-model PartNet-Mobility sources, enumerated from the bundled train-split
+# id lists (reference assets/data.py:77-107: one DataSource per model zip,
+# grouped per category)
+_PM_META = Path(__file__).resolve().parents[2] / "assets" / "partnet_mobility" / "meta"
+_pm_category_uids: Dict[str, List[str]] = {}
+for _cat in ["cabinet_drawer", "cabinet_door", "chair", "bucket", "faucet"]:
+    _meta = _PM_META / f"info_{_cat}_train.json"
+    _uids = []
+    if _meta.exists():
+        import json as _json
+
+        for _mid in sorted(_json.loads(_meta.read_text()).keys()):
+            _uid = f"partnet_mobility/{_mid}"
+            if _uid not in DATA_SOURCES:
+                register_data_source(
+                    _uid, source_type="objects",
+                    url=f"https://storage1.ucsd.edu/datasets/ManiSkill2022-assets/partnet_mobility/dataset/{_mid}.zip",
+                    target_path=f"partnet_mobility/dataset/{_mid}",
+                )
+            _uids.append(_uid)
+    _pm_category_uids[_cat] = _uids
+
+DATA_GROUPS["partnet_mobility_cabinet_models"] = (
+    _pm_category_uids["cabinet_drawer"] + _pm_category_uids["cabinet_door"]
+)
+DATA_GROUPS["partnet_mobility_chair"] = _pm_category_uids["chair"]
+DATA_GROUPS["partnet_mobility_bucket"] = _pm_category_uids["bucket"]
+DATA_GROUPS["partnet_mobility_faucet"] = _pm_category_uids["faucet"]
+DATA_GROUPS["partnet_mobility"] = [
+    u for c in _pm_category_uids.values() for u in c
+]
 # interactable scene datasets
 register_data_source(
     "ReplicaCAD", source_type="scene",
@@ -140,9 +172,27 @@ DATA_GROUPS.update(
 )
 
 
+def expand_data_group_into_individual_data_source_ids(group: str) -> List[str]:
+    """Recursively expand a group into data-source ids (reference
+    assets/data.py:214-229)."""
+    uids: List[str] = []
+
+    def helper(uid: str):
+        if uid in DATA_SOURCES:
+            uids.append(uid)
+        elif uid in DATA_GROUPS:
+            for x in DATA_GROUPS[uid]:
+                helper(x)
+
+    for uid in DATA_GROUPS.get(group, []):
+        helper(uid)
+    return sorted(set(uids))
+
+
 def is_data_group_downloaded(group: str) -> bool:
     return all(
-        DATA_SOURCES[uid].is_downloaded() for uid in DATA_GROUPS.get(group, [])
+        DATA_SOURCES[uid].is_downloaded()
+        for uid in expand_data_group_into_individual_data_source_ids(group)
     )
 
 
