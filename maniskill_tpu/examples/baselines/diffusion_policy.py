@@ -5,9 +5,13 @@ examples/baselines/diffusion_policy in the reference, after Chi et al.
 A conditional DDPM over action chunks: given an observation-history
 window, the model denoises a horizon of future actions; at eval the first
 ``act_steps`` denoised actions execute before re-planning. The denoiser is
-an MLP over [noisy action chunk, obs window, timestep embedding] — the
-1D-UNet of the original is overkill for state-based chunks and an MLP
-keeps the whole trainer one fused jit.
+the reference's ConditionalUnet1D (Conv1D residual blocks with FiLM
+conditioning on the observation + sinusoidal timestep embedding, down/up
+path with skips — examples/baselines/diffusion_policy/train.py's
+ConditionalUnet1D analog); pass ``--denoiser mlp`` for a lighter MLP
+variant. Demos recorded with visual observations train a NatureCNN frame
+encoder end-to-end through the diffusion loss (the reference's PlainConv
+visual encoder analog in train_rgbd.py).
 
 Usage:
     python -m maniskill_tpu.examples.baselines.diffusion_policy \
@@ -35,15 +39,49 @@ def parse_args(argv=None):
     p.add_argument("--diffusion-steps", type=int, default=50)
     p.add_argument("--eval-episodes", type=int, default=16)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--denoiser", choices=["unet", "mlp"], default="unet")
+    p.add_argument("--unet-dims", type=int, nargs="+", default=[64, 128, 256])
+    p.add_argument("--obs-mode", default="state",
+                   help="obs mode for the eval env; use the mode the demos "
+                        "were recorded with (e.g. rgb)")
     return p.parse_args(argv)
 
 
-def _flatten_obs(o, batch_dims):
+def _is_image(a, batch_dims):
+    a = np.asarray(a)
+    return a.ndim == batch_dims + 3 and a.dtype == np.uint8
+
+
+def _split_obs(o, batch_dims):
+    """Separate an obs tree into (flat state vector, list of image arrays)."""
     if isinstance(o, dict):
-        parts = [_flatten_obs(v, batch_dims) for _, v in sorted(o.items())]
-        return np.concatenate(parts, axis=-1)
+        vec_parts, imgs = [], []
+        for _, v in sorted(o.items()):
+            vec, im = _split_obs(v, batch_dims)
+            if vec is not None:
+                vec_parts.append(vec)
+            imgs.extend(im)
+        vec = np.concatenate(vec_parts, axis=-1) if vec_parts else None
+        return vec, imgs
+    if _is_image(o, batch_dims):
+        return None, [np.asarray(o)]
     o = np.asarray(o, np.float32)
-    return o.reshape(o.shape[:batch_dims] + (-1,))
+    return o.reshape(o.shape[:batch_dims] + (-1,)), []
+
+
+def _windows(obs, acts, W, H, img=None):
+    """obs (T+1, D), acts (T, A), img (T+1, h, w, c) -> per-step windows:
+    (N, W*D), chunks (N, H, A), image windows (N, W, h, w, c)."""
+    T = len(acts)
+    OBS, CH, IM = [], [], []
+    for t in range(T):
+        idxs = [max(0, t - i) for i in range(W - 1, -1, -1)]
+        OBS.append(np.concatenate([obs[i] for i in idxs], -1))
+        CH.append(np.stack([acts[min(t + i, T - 1)] for i in range(H)]))
+        if img is not None:
+            IM.append(np.stack([img[i] for i in idxs]))
+    return (np.stack(OBS), np.stack(CH),
+            np.stack(IM) if img is not None else None)
 
 
 def main(argv=None):
@@ -59,23 +97,34 @@ def main(argv=None):
     ds = ManiSkillTrajectoryDataset(args.traj_path)
     H, W = args.horizon, args.obs_window
 
-    # build (obs window, action chunk) pairs per episode
-    OBS, CHUNK = [], []
+    OBS, CHUNK, IMGS = [], [], []
     for ep in range(len(ds.actions)):
         acts = np.asarray(ds.actions[ep], np.float32)
         batched = acts.ndim == 3
-        obs = _flatten_obs(ds.obs[ep], 2 if batched else 1)
+        bd = 2 if batched else 1
+        vec, imgs = _split_obs(ds.obs[ep], bd)
+        img = np.concatenate(imgs, axis=-1) if imgs else None  # cams -> channels
+        if vec is None:
+            vec = np.zeros(acts.shape[:bd] + (0,), np.float32)
         if batched:  # (T, B, ...) -> iterate env columns
             for b in range(acts.shape[1]):
-                OBS_, CH_ = _windows(obs[:, b], acts[:, b], W, H)
-                OBS.append(OBS_), CHUNK.append(CH_)
+                o_, c_, i_ = _windows(
+                    vec[:, b], acts[:, b], W, H,
+                    img[:, b] if img is not None else None,
+                )
+                OBS.append(o_), CHUNK.append(c_), IMGS.append(i_)
         else:
-            OBS_, CH_ = _windows(obs, acts, W, H)
-            OBS.append(OBS_), CHUNK.append(CH_)
+            o_, c_, i_ = _windows(vec, acts, W, H, img)
+            OBS.append(o_), CHUNK.append(c_), IMGS.append(i_)
     X = np.concatenate(OBS, 0)  # (N, W*obs_dim)
     Y = np.concatenate(CHUNK, 0)  # (N, H, act_dim)
+    XI = (np.concatenate([i for i in IMGS if i is not None], 0)
+          if IMGS and IMGS[0] is not None else None)  # (N, W, h, w, c) u8
     A = Y.shape[-1]
-    print(f"dataset: {X.shape[0]} windows, obs {X.shape[1]}, chunk {H}x{A}")
+    print(
+        f"dataset: {X.shape[0]} windows, state {X.shape[1]}, chunk {H}x{A}"
+        + (f", images {XI.shape[1:]}" if XI is not None else "")
+    )
 
     T_DIFF = args.diffusion_steps
     betas = np.linspace(1e-4, 0.02, T_DIFF, dtype=np.float32)
@@ -83,31 +132,104 @@ def main(argv=None):
     alpha_bar = np.cumprod(alphas)
     ab = jnp.asarray(alpha_bar)
 
-    class Denoiser(nn.Module):
+    def mish(x):
+        return x * jnp.tanh(jax.nn.softplus(x))
+
+    class FrameEncoder(nn.Module):
+        """NatureCNN over each window frame, outputs (B, W*256)
+        (reference train_rgbd.py PlainConv analog)."""
+
         @nn.compact
-        def __call__(self, noisy_chunk, obs, t):
-            # sinusoidal timestep embedding
-            half = 32
+        def __call__(self, img):
+            B, Wn = img.shape[:2]
+            x = img.reshape((B * Wn,) + img.shape[2:]).astype(jnp.float32) / 255.0
+            x = nn.relu(nn.Conv(32, (8, 8), strides=4)(x))
+            x = nn.relu(nn.Conv(64, (4, 4), strides=2)(x))
+            x = nn.relu(nn.Conv(64, (3, 3), strides=1)(x))
+            x = x.reshape(B * Wn, -1)
+            x = nn.relu(nn.Dense(256)(x))
+            return x.reshape(B, Wn * 256)
+
+    class ResBlock1D(nn.Module):
+        """Conv1D residual block with FiLM conditioning (reference
+        ConditionalResidualBlock1D)."""
+
+        ch: int
+
+        @nn.compact
+        def __call__(self, x, cond):
+            h = nn.Conv(self.ch, (5,), padding="SAME")(x)
+            h = nn.GroupNorm(num_groups=8)(h)
+            h = mish(h)
+            film = nn.Dense(2 * self.ch)(mish(cond))
+            scale, shift = jnp.split(film[:, None, :], 2, axis=-1)
+            h = h * (1 + scale) + shift
+            h = nn.Conv(self.ch, (5,), padding="SAME")(h)
+            h = nn.GroupNorm(num_groups=8)(h)
+            h = mish(h)
+            res = nn.Conv(self.ch, (1,))(x) if x.shape[-1] != self.ch else x
+            return h + res
+
+    class ConditionalUnet1D(nn.Module):
+        dims: tuple
+
+        @nn.compact
+        def __call__(self, x, cond):
+            """x (B, T, A): denoise along the chunk-time axis."""
+            skips = []
+            for i, d in enumerate(self.dims[:-1]):
+                x = ResBlock1D(d)(x, cond)
+                x = ResBlock1D(d)(x, cond)
+                skips.append(x)
+                x = nn.Conv(d, (3,), strides=2, padding="SAME")(x)  # down
+            x = ResBlock1D(self.dims[-1])(x, cond)
+            x = ResBlock1D(self.dims[-1])(x, cond)
+            for d, skip in zip(reversed(self.dims[:-1]), reversed(skips)):
+                x = nn.ConvTranspose(d, (4,), strides=(2,), padding="SAME")(x)
+                x = x[:, : skip.shape[1]]  # crop to skip length
+                x = jnp.concatenate([x, skip], axis=-1)
+                x = ResBlock1D(d)(x, cond)
+                x = ResBlock1D(d)(x, cond)
+            return nn.Conv(A, (5,), padding="SAME")(x)
+
+    class Denoiser(nn.Module):
+        kind: str
+
+        @nn.compact
+        def __call__(self, noisy_chunk, obs, imgs, t):
+            half = 64
             freqs = jnp.exp(-np.log(1e4) * jnp.arange(half) / half)
             emb = t[:, None] * freqs[None]
             temb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
-            x = jnp.concatenate(
-                [noisy_chunk.reshape(noisy_chunk.shape[0], -1), obs, temb], -1
-            )
-            for _ in range(4):
-                x = nn.gelu(nn.Dense(args.hidden)(x))
-            eps = nn.Dense(H * A)(x)
-            return eps.reshape(-1, H, A)
+            temb = nn.Dense(128)(mish(nn.Dense(128)(temb)))
+            feats = [obs, temb]
+            if imgs is not None:
+                feats.insert(0, FrameEncoder()(imgs))
+            cond = jnp.concatenate(feats, -1)
+            if self.kind == "mlp":
+                x = jnp.concatenate(
+                    [noisy_chunk.reshape(noisy_chunk.shape[0], -1), cond], -1
+                )
+                for _ in range(4):
+                    x = nn.gelu(nn.Dense(args.hidden)(x))
+                return nn.Dense(H * A)(x).reshape(-1, H, A)
+            return ConditionalUnet1D(tuple(args.unet_dims))(noisy_chunk, cond)
 
-    model = Denoiser()
+    model = Denoiser(args.denoiser)
     key = jax.random.PRNGKey(args.seed)
+    dummy_img = (jnp.zeros((1,) + XI.shape[1:], jnp.uint8)
+                 if XI is not None else None)
     params = model.init(
-        key, jnp.zeros((1, H, A)), jnp.zeros((1, X.shape[1])), jnp.zeros((1,))
+        key, jnp.zeros((1, H, A)), jnp.zeros((1, X.shape[1])), dummy_img,
+        jnp.zeros((1,)),
     )
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+    print(f"denoiser={args.denoiser} params={n_params:,}")
     tx = optax.adam(args.lr)
     opt_state = tx.init(params)
 
     Xd, Yd = jnp.asarray(X), jnp.asarray(Y)
+    XId = jnp.asarray(XI) if XI is not None else None
     n = X.shape[0]
     bs = min(args.batch_size, n)
     nb = max(1, n // bs)
@@ -122,13 +244,14 @@ def main(argv=None):
             key, tk, nk = jax.random.split(key, 3)
             idx = jax.lax.dynamic_slice_in_dim(perm, i * bs, bs)
             obs, chunk = Xd[idx], Yd[idx]
+            imgs = XId[idx] if XId is not None else None
             t = jax.random.randint(tk, (bs,), 0, T_DIFF)
             noise = jax.random.normal(nk, chunk.shape)
             abt = ab[t][:, None, None]
             noisy = jnp.sqrt(abt) * chunk + jnp.sqrt(1 - abt) * noise
 
             def loss_fn(p):
-                eps = model.apply(p, noisy, obs, t.astype(jnp.float32))
+                eps = model.apply(p, noisy, obs, imgs, t.astype(jnp.float32))
                 return jnp.mean((eps - noise) ** 2)
 
             loss, g = jax.value_and_grad(loss_fn)(params)
@@ -152,7 +275,7 @@ def main(argv=None):
             )
 
     @jax.jit
-    def sample_chunk(params, obs, key):
+    def sample_chunk(params, obs, imgs, key):
         """DDPM ancestral sampling of one action chunk per env."""
         B = obs.shape[0]
         x = jax.random.normal(key, (B, H, A))
@@ -162,9 +285,9 @@ def main(argv=None):
             ti = T_DIFF - 1 - t
             key, nk = jax.random.split(key)
             eps = model.apply(
-                params, x, obs, jnp.full((B,), ti, jnp.float32)
+                params, x, obs, imgs, jnp.full((B,), ti, jnp.float32)
             )
-            a_t, ab_t = alphas[0] * 0 + jnp.asarray(alphas)[ti], ab[ti]
+            a_t, ab_t = jnp.asarray(alphas)[ti], ab[ti]
             x = (x - (1 - a_t) / jnp.sqrt(1 - ab_t) * eps) / jnp.sqrt(a_t)
             noise = jax.random.normal(nk, x.shape)
             x = x + jnp.where(ti > 0, jnp.sqrt(jnp.asarray(betas)[ti]), 0.0) * noise
@@ -175,34 +298,40 @@ def main(argv=None):
 
     if args.env_id:
         import maniskill_tpu.envs  # noqa: F401
+        from maniskill_tpu.utils import common
         from maniskill_tpu.utils.registration import make
 
-        env = make(args.env_id, num_envs=args.eval_episodes, obs_mode="state")
+        env = make(args.env_id, num_envs=args.eval_episodes,
+                   obs_mode=args.obs_mode)
         obs, _ = env.reset(seed=123)
-        obs_hist = [np.asarray(obs)] * W
+
+        def parts(obs):
+            o = common.to_numpy(obs)
+            vec, imgs = _split_obs(o, 1)
+            if vec is None:
+                vec = np.zeros((args.eval_episodes, 0), np.float32)
+            img = np.concatenate(imgs, axis=-1) if imgs else None
+            return vec, img
+
+        v0, i0 = parts(obs)
+        hist = [(v0, i0)] * W
         success = np.zeros(args.eval_episodes, bool)
         for t in range(0, 50, args.act_steps):
-            window = jnp.asarray(np.concatenate(obs_hist[-W:], axis=-1))
+            window = jnp.asarray(
+                np.concatenate([v for v, _ in hist[-W:]], axis=-1)
+            )
+            img_window = (
+                jnp.asarray(np.stack([im for _, im in hist[-W:]], axis=1))
+                if i0 is not None else None
+            )
             key, sk = jax.random.split(key)
-            chunk = sample_chunk(params, window, sk)
+            chunk = sample_chunk(params, window, img_window, sk)
             for k in range(args.act_steps):
                 obs, rew, term, trunc, info = env.step(chunk[:, k])
-                obs_hist.append(np.asarray(obs))
+                hist.append(parts(obs))
             success |= np.asarray(info["success"])
         print(f"eval success_once: {success.mean():.3f}")
         env.close()
-
-
-def _windows(obs, acts, W, H):
-    """obs (T+1, D), acts (T, A) -> windows (N, W*D) and chunks (N, H, A)."""
-    T = len(acts)
-    OBS, CH = [], []
-    for t in range(T):
-        w = [obs[max(0, t - i)] for i in range(W - 1, -1, -1)]
-        chunk = [acts[min(t + i, T - 1)] for i in range(H)]
-        OBS.append(np.concatenate(w, -1))
-        CH.append(np.stack(chunk))
-    return np.stack(OBS), np.stack(CH)
 
 
 if __name__ == "__main__":
