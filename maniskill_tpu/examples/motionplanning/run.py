@@ -19,6 +19,10 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save-traj", action="store_true")
     p.add_argument("--output-dir", default="out")
+    p.add_argument("--episodes", type=int, default=None,
+                   help="keep re-running with fresh seeds until this many "
+                        "SUCCESSFUL episodes are recorded (demo generation "
+                        "mode, like the reference run.py -n)")
     return p.parse_args(argv)
 
 
@@ -44,12 +48,30 @@ def main(argv=None):
         env = RecordEpisode(env, args.output_dir, save_trajectory=True,
                             save_video=False,
                             trajectory_name=f"mp_{args.env_id}")
-    env.reset(seed=args.seed)
-    result = SOLUTIONS[args.env_id](env)
-    info = result[-1]
-    success = np.asarray(info.get("success", False))
-    print(f"{args.env_id}: success {success.mean():.2f} ({success.sum()}/{len(success)})")
+
+    total_succ, total_ep, batch = 0, 0, 0
+    target = args.episodes
+    while True:
+        env.reset(seed=args.seed + batch)
+        result = SOLUTIONS[args.env_id](env)
+        info = result[-1]
+        success = np.asarray(info.get("success", False))
+        total_succ += int(success.sum())
+        total_ep += len(success)
+        print(
+            f"{args.env_id} batch {batch}: success {success.mean():.2f} "
+            f"({total_succ}/{total_ep} cumulative)",
+            flush=True,
+        )
+        batch += 1
+        if target is None or total_succ >= target:
+            break
     env.close()
+    if args.save_traj:
+        print(
+            f"trajectories in {args.output_dir} (JSON metadata marks per-"
+            "episode success; load with success_only=True to filter)"
+        )
 
 
 if __name__ == "__main__":

@@ -1,23 +1,32 @@
 """AI2THOR scene-builder variants (counterpart of
-mani_skill/utils/scene_builder/ai2thor/variants.py).
+mani_skill/utils/scene_builder/ai2thor/variants.py and
+scene_builder.py:67-296).
 
-The reference loads the downloaded AI2THOR GLB scene datasets; this build
-generates procedural room layouts in each variant's spirit (iTHOR: single
+When the AI2THOR-Hab dataset is downloaded (`ASSET_DIR/scene_datasets/
+ai2thor`, habitat scene_instance.json schema), scenes build from the real
+GLBs via the shared habitat loader (scene_builder/habitat.py), cooking
+meshes to hull proxies exactly like the ReplicaCAD path. Otherwise each
+variant generates procedural room layouts in its spirit (iTHOR: single
 furnished room; ProcTHOR: procedurally varied multi-room; ArchitecTHOR:
-larger architected rooms; RoboTHOR: maze-like dorms) until the dataset
-download path gains a GLB scene parser. Layout geometry is deterministic
-per build_config index.
+larger architected rooms; RoboTHOR: maze-like dorms). Layout geometry is
+deterministic per build_config index.
 """
 from __future__ import annotations
 
+from pathlib import Path
 from typing import List, Optional
 
 import numpy as np
 import jax.numpy as jnp
 
 from ...building.ground import build_ground
+from ...utils.assets.data import ASSET_DIR
+from ...utils.logging_utils import logger
 from ..registration import register_scene_builder
 from ..scene_builder import SceneBuilder
+
+AI2THOR_DIR = Path(ASSET_DIR) / "scene_datasets" / "ai2thor"
+_GLB_INDEX = None  # lazy, shared across variants
 
 
 class _ProceduralRoomsBuilder(SceneBuilder):
@@ -26,14 +35,49 @@ class _ProceduralRoomsBuilder(SceneBuilder):
     n_layouts = 4
     room_half = (3.0, 2.5)
     furniture_count = 4
+    scene_dataset: Optional[str] = None  # subdir in the hab configs
 
     def __init__(self, env, robot_init_qpos_noise: float = 0.02):
         super().__init__(env, robot_init_qpos_noise)
         self.build_configs = list(range(self.n_layouts))
+        self._dataset_configs: List[Path] = []
+        if self.scene_dataset and AI2THOR_DIR.exists():
+            from ..habitat import list_scene_instances
+
+            cfg_dir = (
+                AI2THOR_DIR / "ai2thorhab-uncompressed" / "configs"
+                / "scenes" / self.scene_dataset
+            )
+            self._dataset_configs = list_scene_instances(cfg_dir)
+            if self._dataset_configs:
+                self.build_configs = list(range(len(self._dataset_configs)))
         self._movable: List = []
 
     def build(self, build_config_idxs: Optional[List[int]] = None):
         idx = (build_config_idxs or [0])[0]
+        if self._dataset_configs:
+            try:
+                return self._build_from_dataset(
+                    self._dataset_configs[idx % len(self._dataset_configs)]
+                )
+            except Exception as e:
+                logger.warning(
+                    "AI2THOR dataset build failed (%s); procedural fallback", e
+                )
+        return self._build_procedural(idx)
+
+    def _build_from_dataset(self, cfg_path: Path):
+        from ..habitat import build_scene_instance, index_glbs
+
+        global _GLB_INDEX
+        if _GLB_INDEX is None:
+            _GLB_INDEX = index_glbs(AI2THOR_DIR)
+        built = build_scene_instance(
+            self.scene, cfg_path, _GLB_INDEX, movable_out=self._movable
+        )
+        logger.info("AI2THOR scene %s: %d objects", cfg_path.stem, built)
+
+    def _build_procedural(self, idx: int):
         rng = np.random.RandomState(1000 + idx)
         scene = self.scene
         build_ground(scene)
@@ -91,21 +135,24 @@ class _ProceduralRoomsBuilder(SceneBuilder):
 
 @register_scene_builder("iTHOR")
 class iTHORSceneBuilder(_ProceduralRoomsBuilder):
-    pass
+    scene_dataset = "iTHOR"
 
 
 @register_scene_builder("ProcTHOR")
 class ProcTHORSceneBuilder(_ProceduralRoomsBuilder):
+    scene_dataset = "ProcTHOR"
     n_layouts = 16
     furniture_count = 6
 
 
 @register_scene_builder("ArchitecTHOR")
 class ArchitecTHORSceneBuilder(_ProceduralRoomsBuilder):
+    scene_dataset = "ArchitecTHOR"
     room_half = (4.5, 3.5)
     furniture_count = 8
 
 
 @register_scene_builder("RoboTHOR")
 class RoboTHORSceneBuilder(_ProceduralRoomsBuilder):
+    scene_dataset = "RoboTHOR"
     furniture_count = 10  # maze-like density
