@@ -145,37 +145,77 @@ def solve_place_sphere(env, debug: bool = False):
     return result
 
 
+def _cube_yaw(q):
+    """z-rotation of a cube quat, wrapped to the nearest face-aligned grip
+    angle in [-pi/4, pi/4)."""
+    yaw = jnp.arctan2(
+        2 * (q[:, 0] * q[:, 3] + q[:, 1] * q[:, 2]),
+        1 - 2 * (q[:, 2] ** 2 + q[:, 3] ** 2),
+    )
+    return (yaw + jnp.pi / 4) % (jnp.pi / 2) - jnp.pi / 4
+
+
 def solve_stack_pyramid(env, debug: bool = False):
     """StackPyramid: put A beside B, then C on top of both
-    (reference solutions/stack_pyramid.py flow)."""
+    (reference solutions/stack_pyramid.py flow). Grasps are yaw-aligned to
+    each cube's faces and placements hover above the target before
+    descending, so neighbouring cubes are not clipped on approach."""
     base = env.unwrapped
     mp = PandaMotionPlanningSolver(env)
     half = 0.02
 
-    # 1) move A adjacent to B (leave a cube-width gap along x)
+    # 1) grasp A face-aligned
     mp.open_gripper(steps=3)
     a_p = base.cubeA.pose.p
-    mp.move_to_pose(_pose(a_p.at[:, 2].add(0.08)), refine_steps=3)
-    mp.move_to_pose(_pose(a_p.at[:, 2].add(0.015)), refine_steps=5)
+    qa = _yawed_down_q(_cube_yaw(base.cubeA.pose.q))
+    mp.move_to_pose(_pose(a_p.at[:, 2].add(0.08), qa), refine_steps=3)
+    mp.move_to_pose(_pose(a_p.at[:, 2].add(0.015), qa), refine_steps=5)
     mp.close_gripper(steps=8)
-    mp.move_to_pose(_pose(a_p.at[:, 2].set(0.12)), refine_steps=2)
+    mp.move_to_pose(_pose(a_p.at[:, 2].set(0.12), qa), refine_steps=2)
+
+    # 2) place A flush against B: hover above the slot, then descend
     b_p = base.cubeB.pose.p
     a_now = base.cubeA.pose.p
     d = a_now[:, :2] - b_p[:, :2]
     d = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-8)
-    target_a = b_p.at[:, :2].add(d * 2 * half).at[:, 2].set(half + 0.001)
+    # drop A with ~0.8 cm clearance (so the descent never clips B), then
+    # push it flush: the push is self-limiting — A stops against B's face —
+    # which kills the PD's ~1-2 cm lateral settle variance
+    target_a = (
+        b_p.at[:, :2].add(d * (2 * half + 0.008)).at[:, 2].set(half + 0.001)
+    )
+    hover = base.agent.tcp.pose.p + (target_a - a_now)
+    mp.move_to_pose(_pose(hover.at[:, 2].add(0.05), qa), refine_steps=3)
+    a_now = base.cubeA.pose.p
     place = base.agent.tcp.pose.p + (target_a - a_now)
-    mp.move_to_pose(_pose(place), refine_steps=5)
+    mp.move_to_pose(_pose(place, qa), refine_steps=6)
     mp.open_gripper(steps=5)
-    lift_away = place.at[:, 2].add(0.10)
-    mp.move_to_pose(_pose(lift_away), refine_steps=2)
+    lift_away = base.agent.tcp.pose.p.at[:, 2].add(0.10)
+    mp.move_to_pose(_pose(lift_away, qa), refine_steps=2)
 
-    # 2) C on top of the A-B pair midpoint
+    # push-correct: park the closed gripper behind A (away from B) and push
+    # toward B until the faces touch
+    mp.close_gripper(steps=3)
+    a_now = base.cubeA.pose.p
+    b_now = base.cubeB.pose.p
+    d2 = a_now[:, :2] - b_now[:, :2]
+    dist = jnp.linalg.norm(d2, axis=-1, keepdims=True)
+    d2n = d2 / (dist + 1e-8)
+    behind = a_now.at[:, :2].add(d2n * 0.052).at[:, 2].set(half)
+    mp.move_to_pose(_pose(behind.at[:, 2].set(0.09), qa), refine_steps=2)
+    mp.move_to_pose(_pose(behind, qa), refine_steps=3)
+    push_to = behind.at[:, :2].add(-d2n * (dist - (2 * half + 0.001)))
+    mp.move_to_pose(_pose(push_to, qa), refine_steps=5)
+    mp.move_to_pose(_pose(push_to.at[:, 2].set(0.12), qa), refine_steps=2)
+    mp.open_gripper(steps=3)
+
+    # 3) grasp C face-aligned, hover over the A-B seam, descend, release
     c_p = base.cubeC.pose.p
-    mp.move_to_pose(_pose(c_p.at[:, 2].add(0.08)), refine_steps=3)
-    mp.move_to_pose(_pose(c_p.at[:, 2].add(0.015)), refine_steps=5)
+    qc = _yawed_down_q(_cube_yaw(base.cubeC.pose.q))
+    mp.move_to_pose(_pose(c_p.at[:, 2].add(0.08), qc), refine_steps=3)
+    mp.move_to_pose(_pose(c_p.at[:, 2].add(0.015), qc), refine_steps=5)
     mp.close_gripper(steps=8)
-    mp.move_to_pose(_pose(c_p.at[:, 2].set(0.14)), refine_steps=2)
+    mp.move_to_pose(_pose(c_p.at[:, 2].set(0.14), qc), refine_steps=2)
     a_now = base.cubeA.pose.p
     b_now = base.cubeB.pose.p
     c_now = base.cubeC.pose.p
@@ -183,8 +223,11 @@ def solve_stack_pyramid(env, debug: bool = False):
     target_c = jnp.concatenate(
         [mid, jnp.full((mid.shape[0], 1), 3 * half + 0.002)], axis=-1
     )
+    hover_c = base.agent.tcp.pose.p + (target_c - c_now)
+    mp.move_to_pose(_pose(hover_c.at[:, 2].add(0.05), qc), refine_steps=3)
+    c_now = base.cubeC.pose.p
     place_c = base.agent.tcp.pose.p + (target_c - c_now)
-    mp.move_to_pose(_pose(place_c), refine_steps=6)
+    mp.move_to_pose(_pose(place_c, qc), refine_steps=6)
     result = mp.open_gripper(steps=8)
     return result
 
