@@ -81,7 +81,11 @@ def load_demo_states(h5path: str, num_demos: Optional[int] = None):
         T = len(np.asarray(ep["actions"]))
         state_trees.append(states)
         lens.append(T + 1)
-        obs = np.asarray(ep["obs"]) if "obs" in ep else None
+        obs = (
+            np.asarray(ep["obs"][()])
+            if "obs" in ep and isinstance(ep["obs"], h5py.Dataset)
+            else None
+        )
         if obs is not None and obs.ndim == 2:
             act = np.asarray(ep["actions"])
             rew = np.asarray(ep["rewards"]) if "rewards" in ep else np.zeros(T)
