@@ -16,6 +16,14 @@ visual encoder analog in train_rgbd.py).
 Usage:
     python -m maniskill_tpu.examples.baselines.diffusion_policy \
         --traj-path out/demos.h5 --env-id PickCube-v1 --epochs 200
+
+Demo control mode matters (as in the reference): absolute pd_joint_pos
+motion-planning demos make the script phase unobservable from state and
+closed-loop IL stalls at phase boundaries. Convert demos to a delta mode
+first (reference baselines do the same):
+    python -m maniskill_tpu.trajectory.replay_trajectory \
+        --traj-path demos/PickCube-v1/mp_PickCube-v1.h5 \
+        -c pd_joint_delta_pos --save-traj
 """
 from __future__ import annotations
 
@@ -118,6 +126,13 @@ def main(argv=None):
             OBS.append(o_), CHUNK.append(c_), IMGS.append(i_)
     X = np.concatenate(OBS, 0)  # (N, W*obs_dim)
     Y = np.concatenate(CHUNK, 0)  # (N, H, act_dim)
+    # normalize actions to [-1, 1] with dataset stats (the reference's
+    # LinearNormalizer): unnormalized joint-space demo actions otherwise
+    # fall outside the DDPM's clipped sample range
+    a_min = Y.min(axis=(0, 1))
+    a_max = Y.max(axis=(0, 1))
+    a_scale = np.maximum(a_max - a_min, 1e-4)
+    Y = 2.0 * (Y - a_min) / a_scale - 1.0
     XI = (np.concatenate([i for i in IMGS if i is not None], 0)
           if IMGS and IMGS[0] is not None else None)  # (N, W, h, w, c) u8
     A = Y.shape[-1]
@@ -326,6 +341,8 @@ def main(argv=None):
             )
             key, sk = jax.random.split(key)
             chunk = sample_chunk(params, window, img_window, sk)
+            # denormalize back to the env's action scale
+            chunk = (chunk + 1.0) / 2.0 * jnp.asarray(a_scale) + jnp.asarray(a_min)
             for k in range(args.act_steps):
                 obs, rew, term, trunc, info = env.step(chunk[:, k])
                 hist.append(parts(obs))
