@@ -189,7 +189,10 @@ class BaseEnv(gym.Env):
         self._data0 = self._make_initial_data()
         self.scene.bind(self._data0)
         # compiled functions (cleared so model changes re-trace)
-        self._step_compiled = jax.jit(self._step_impl)
+        # donate the state pytree: step is the only consumer of the previous
+        # data (scene.bind swaps in the returned one), so XLA can reuse the
+        # HBM buffers in place instead of allocating a fresh copy per step
+        self._step_compiled = jax.jit(self._step_impl, donate_argnums=(0,))
         self._reset_compiled = jax.jit(self._reset_impl)
         self._obs_compiled = jax.jit(self._obs_only_impl)
 

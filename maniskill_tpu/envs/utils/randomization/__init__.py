@@ -1,4 +1,5 @@
 from .batched_rng import BatchedRNG
+from .camera import batched_look_at, make_camera_rectangular_prism, noised_look_at
 from .samplers import UniformPlacementSampler
 
 

@@ -94,3 +94,26 @@ def test_quat_diff_rad():
     q0 = jnp.array([[1.0, 0, 0, 0]])
     q1 = rc.axis_angle_to_quaternion(jnp.array([[0.3, 0.0, 0.0]]))
     np.testing.assert_allclose(rc.quat_diff_rad(q0, q1), 0.3, atol=1e-5)
+
+
+def test_camera_randomization_helpers():
+    # reference randomization/camera.py:13-60: eyes in a rotated box,
+    # noised look-at points +x roughly at the target with unit quaternions
+    from maniskill_tpu.envs.utils.randomization import (
+        make_camera_rectangular_prism,
+        noised_look_at,
+    )
+
+    eyes = make_camera_rectangular_prism(
+        jax.random.PRNGKey(0), 16, scale=[0.4, 0.4, 0.1], center=[0.5, 0.0, 0.6],
+        theta=0.3,
+    )
+    assert eyes.shape == (16, 3)
+    assert float(jnp.abs(eyes[:, 2] - 0.6).max()) <= 0.05 + 1e-6
+
+    pose = noised_look_at(jax.random.PRNGKey(1), eyes, [0.1, 0.0, 0.1])
+    np.testing.assert_allclose(jnp.linalg.norm(pose.q, axis=-1), 1.0, atol=1e-5)
+    fwd = rc.quaternion_to_matrix(pose.q)[..., 0]
+    want = jnp.asarray([0.1, 0.0, 0.1]) - eyes
+    want = want / jnp.linalg.norm(want, axis=-1, keepdims=True)
+    assert float((fwd * want).sum(-1).min()) > 0.95
