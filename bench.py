@@ -1,13 +1,14 @@
-"""Benchmark driver: state-obs env.step throughput on FrankaMoveBenchmark-v1.
+"""Benchmark driver: env.step throughput across the headline configurations.
 
 Mirrors the reference's benchmark methodology
 (mani_skill/examples/benchmarking/gpu_sim.py: env.step timed over N steps,
-pd_joint_delta_pos control) and prints ONE JSON line with steps/sec vs the
-reference's RTX-4090 baseline (BASELINE.md: FrankaMoveBenchmark-v1 @ 4096
-envs = 330,096 steps/s).
+pd_joint_delta_pos control) and prints ONE JSON line per metric with
+steps/sec vs the reference's RTX-4090 baselines (BASELINE.md). The headline
+metric (FrankaMoveBenchmark-v1 state @4096) prints LAST so single-line
+parsers pick it up.
 
-The measurement runs in a child process so a wedged accelerator client can be
-retried with a fresh backend; the parent never imports jax.
+Each measurement runs in a child process so a wedged accelerator client can
+be retried with a fresh backend; the parent never imports jax.
 """
 import json
 import os
@@ -17,11 +18,19 @@ import time
 
 _CHILD_FLAG = "MS_BENCH_CHILD"
 
+# metric, env_id, num_envs, obs_mode, steps, baseline (RTX-4090, BASELINE.md)
+_SUITE = [
+    ("cartpole_rgb_128_fps", "CartpoleBalanceBenchmark-v1", 1024, "rgb", 100, 32138.0),
+    ("pickcube_rgb_128_fps", "PickCube-v1", 2048, "rgb", 100, 18601.0),
+    ("franka_pickcube_state_steps_per_sec", "FrankaPickCubeBenchmark-v1", 8192, "state", 200, 261546.0),
+    ("franka_move_state_steps_per_sec", "FrankaMoveBenchmark-v1", 4096, "state", 200, 330096.0),
+]
 
-def measure():
-    # default matches the baseline row's config (BASELINE.md: FrankaMove @4096)
-    num_envs = int(os.environ.get("BENCH_NUM_ENVS", "4096"))
-    steps = int(os.environ.get("BENCH_STEPS", "100"))
+
+def measure(spec_idx: int):
+    metric, env_id, num_envs, obs_mode, steps, baseline = _SUITE[spec_idx]
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", num_envs))
+    steps = int(os.environ.get("BENCH_STEPS", steps))
 
     import jax
     import jax.numpy as jnp
@@ -29,8 +38,6 @@ def measure():
     import maniskill_tpu.envs  # registers tasks
     from maniskill_tpu.utils.registration import make
 
-    env_id = os.environ.get("BENCH_ENV_ID", "FrankaMoveBenchmark-v1")
-    obs_mode = os.environ.get("BENCH_OBS_MODE", "state")
     env = make(
         env_id,
         num_envs=num_envs,
@@ -53,11 +60,10 @@ def measure():
     dt = time.perf_counter() - t0
 
     steps_per_sec = num_envs * steps / dt
-    baseline = float(os.environ.get("BENCH_BASELINE", "330096.0"))
     print(
         json.dumps(
             dict(
-                metric="franka_move_state_steps_per_sec",
+                metric=metric,
                 value=round(steps_per_sec, 1),
                 unit="env*steps/s",
                 vs_baseline=round(steps_per_sec / baseline, 3),
@@ -66,43 +72,58 @@ def measure():
     )
 
 
-def main():
-    if os.environ.get(_CHILD_FLAG):
-        measure()
-        return
-
+def _run_child(spec_idx: int) -> bool:
     env = dict(os.environ)
-    env[_CHILD_FLAG] = "1"
+    env[_CHILD_FLAG] = str(spec_idx + 1)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     attempts = int(os.environ.get("BENCH_RETRIES", "3"))
-    last_err = ""
     for attempt in range(attempts):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            timeout=int(os.environ.get("BENCH_TIMEOUT", "3000")),
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=int(os.environ.get("BENCH_TIMEOUT", "2400")),
+            )
+        except subprocess.TimeoutExpired:
+            print(f"bench[{spec_idx}] attempt {attempt + 1} timed out", file=sys.stderr)
+            continue
         for line in reversed(proc.stdout.strip().splitlines()):
             try:
                 parsed = json.loads(line)
             except (json.JSONDecodeError, ValueError):
                 continue
             if isinstance(parsed, dict) and "metric" in parsed:
-                print(line)
-                return
+                print(line, flush=True)
+                return True
         last_err = (proc.stderr or proc.stdout or "").strip()[-2000:]
         print(
-            f"bench attempt {attempt + 1}/{attempts} failed (rc={proc.returncode}); "
-            "retrying with a fresh backend",
+            f"bench[{spec_idx}] attempt {attempt + 1}/{attempts} failed "
+            f"(rc={proc.returncode}); retrying with a fresh backend",
             file=sys.stderr,
         )
         if last_err:
             print(last_err, file=sys.stderr)
         time.sleep(15 * (attempt + 1))
-    print(f"bench failed after {attempts} attempts", file=sys.stderr)
-    sys.exit(1)
+    return False
+
+
+def main():
+    child = os.environ.get(_CHILD_FLAG)
+    if child:
+        measure(int(child) - 1)
+        return
+
+    only = os.environ.get("BENCH_ONLY")  # comma-separated metric substrings
+    ok_any = False
+    for i, spec in enumerate(_SUITE):
+        if only and not any(tok in spec[0] for tok in only.split(",")):
+            continue
+        ok_any = _run_child(i) or ok_any
+    if not ok_any:
+        print("bench failed: no metric produced", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

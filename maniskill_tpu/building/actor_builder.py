@@ -186,6 +186,22 @@ class ActorBuilder:
         mb = self.scene.mb
         if body_type == STATIC:
             body = 0
+        elif body_type == KINEMATIC and not self.collisions:
+            # kinematic marker with no collision geometry (goal sites etc.):
+            # build it dof-less (FIXED to world) — its per-env pose lives in
+            # Data.mocap_pose, so it costs nothing in the dynamics spine
+            from ..physics.types import FIXED
+
+            body = mb.add_body(
+                name,
+                jnt_type=FIXED,
+                body_type=KINEMATIC,
+                pos=self.initial_pose[:3],
+                quat=self.initial_pose[3:],
+                mass=1e-3,
+                inertia=np.full(3, 1e-7),
+            )
+            mb.mocap_bodies.append(body)
         else:
             shapes = [
                 # hull proxies use their AABB box equivalent for inertia

@@ -199,12 +199,30 @@ class BaseEnv(gym.Env):
     def _make_initial_data(self) -> phys.Data:
         model = self.scene.model
         qpos0 = phys.default_qpos(model)
+        mocap0 = None
+        if model.mocap_bodies is not None:
+            import numpy as _np
+
+            mb = _np.asarray(model.mocap_bodies)
+            mocap0 = _np.concatenate(
+                [_np.asarray(model.body_pos)[mb], _np.asarray(model.body_quat)[mb]],
+                axis=-1,
+            ).astype(_np.float32)
         for actor in self.scene.actors.values():
             if actor.is_static or actor.initial_pose is None:
+                continue
+            if actor._mocap_idx is not None:
+                mocap0[actor._mocap_idx] = actor.initial_pose
                 continue
             qa = int(model.body_q_adr[actor.body_id])
             qpos0[qa : qa + 7] = actor.initial_pose
         data = phys.make_data(model, self.num_envs, qpos0)
+        if mocap0 is not None:
+            data = data.replace(
+                mocap_pose=jnp.broadcast_to(
+                    jnp.asarray(mocap0), (self.num_envs,) + mocap0.shape
+                )
+            )
         specs = getattr(self.scene, "extra_specs", {})
         if specs:
             data = data.replace(
@@ -402,6 +420,14 @@ class BaseEnv(gym.Env):
     # step (sapien_env.py:1042-1132)
     # ==================================================================
     def step(self, action):
+        """Advance one control step.
+
+        NOTE: the state pytree is DONATED to the compiled step
+        (``donate_argnums=(0,)``), so any externally held reference to a
+        previous ``env.scene.data`` (or arrays inside it) is invalidated by
+        this call — re-read ``env.scene.data`` after each step instead of
+        caching it across steps.
+        """
         if isinstance(action, dict):
             ctrl = self.agent.controller
             if hasattr(ctrl, "action_mapping"):

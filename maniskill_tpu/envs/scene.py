@@ -147,10 +147,18 @@ class ManiSkillScene:
             np.asarray(g.hull, np.float32) for g in geoms if g.type == _HULL
         ]
         self.host_hull_verts = np.stack(hulls) if hulls else None
+        mocap_of = (
+            {int(b): i for i, b in enumerate(self.model.mocap_bodies)}
+            if self.model.mocap_bodies is not None
+            else {}
+        )
         for actor in self.actors.values():
             if actor.body_type != STATIC:
-                actor._q_adr = int(self.model.body_q_adr[actor.body_id])
-                actor._dof_adr = int(self.model.body_dof_adr[actor.body_id])
+                if actor.body_id in mocap_of:
+                    actor._mocap_idx = mocap_of[actor.body_id]
+                else:
+                    actor._q_adr = int(self.model.body_q_adr[actor.body_id])
+                    actor._dof_adr = int(self.model.body_dof_adr[actor.body_id])
         for art in self.articulations.values():
             for j in art.joints:
                 j.q_adr = int(self.model.body_q_adr[j.body_id])

@@ -144,6 +144,13 @@ class CartpoleBalanceEnv(CartpoleEnv):
         return dict(fail=self.pole_angle_cosine < 0)
 
 
+# legacy alias (reference registers the dm-control balance task under both
+# uids, mani_skill/envs/tasks/control/cartpole.py)
+@register_env("MS-CartPole-v1", max_episode_steps=500)
+class LegacyCartPoleEnv(CartpoleBalanceEnv):
+    pass
+
+
 @register_env("MS-CartpoleSwingUp-v1", max_episode_steps=1000)
 class CartpoleSwingUpEnv(CartpoleEnv):
     def _initialize_episode(self, env_idx, options: dict):

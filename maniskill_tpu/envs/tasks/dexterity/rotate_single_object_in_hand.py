@@ -178,3 +178,62 @@ class RotateSingleObjectInHandLevel1(RotateSingleObjectInHand):
 @register_env("RotateSingleObjectInHandLevel2-v1", max_episode_steps=300)
 class RotateSingleObjectInHandLevel2(RotateSingleObjectInHand):
     difficulty_level = 2
+
+
+@register_env("RotateSingleObjectInHandLevel3-v1", max_episode_steps=300)
+class RotateSingleObjectInHandLevel3(RotateSingleObjectInHand):
+    """Level 3 (rotate_single_object_in_hand.py:374): per-env random YCB
+    objects (cooked convex hulls in the per-env hull tables) + random axis."""
+
+    difficulty_level = 3
+    _YCB_MAX_HULLS = 4  # in-hand objects are small; 4 parts suffice
+
+    def _load_scene(self, options: dict):
+        from ....building.cooking import HULL_MAX_VERTS
+        from ....utils.assets import ycb
+
+        self.ground = build_ground(self.scene)
+
+        rng = self._main_rng or np.random.RandomState(2024)
+        all_ids = np.array(ycb.all_model_ids())
+        model_ids = rng.choice(all_ids, size=self.num_envs, replace=True)
+        self.model_ids = model_ids
+
+        cooked = {}
+        for mid in np.unique(model_ids):
+            parts = ycb.cooked_hulls(mid, max_parts=self._YCB_MAX_HULLS)
+            while len(parts) < self._YCB_MAX_HULLS:
+                parts.append(parts[0])
+            cooked[mid] = np.stack(parts[: self._YCB_MAX_HULLS])
+
+        # normalize each model to palm scale (reference scales YCB objects to
+        # fit the Allegro palm): longest AABB edge -> ~7 cm
+        hulls = np.stack([cooked[m] for m in model_ids])  # (B, K, V, 3)
+        lo = hulls.reshape(self.num_envs, -1, 3).min(axis=1)
+        hi = hulls.reshape(self.num_envs, -1, 3).max(axis=1)
+        longest = np.maximum((hi - lo).max(axis=1), 1e-4)
+        scale = (0.07 / longest)[:, None, None, None].astype(np.float32)
+        center = (0.5 * (lo + hi))[:, None, None, :].astype(np.float32)
+        hulls = (hulls - center) * scale
+        assert hulls.shape[2] == HULL_MAX_VERTS
+
+        builder = self.scene.create_actor_builder()
+        for k in range(self._YCB_MAX_HULLS):
+            builder.add_convex_collision_from_mesh(
+                hulls[0, k], density=1000.0, color=[1, 0.3, 0, 1]
+            )
+        builder.set_initial_pose(
+            np.array([0, 0, _HAND_INIT_HEIGHT + 0.06, 1, 0, 0, 0])
+        )
+        self.obj = builder.build(name="obj")
+        self._pending_hulls = hulls
+
+        self.scene.register_extra("rot_dir", (3,))
+        self.scene.register_extra("prev_unit_vector", (3,))
+        self.scene.register_extra("cum_rotation_angle", ())
+
+    def _after_reconfigure(self, options: dict):
+        self.scene.set_per_env_hulls(self.obj, self._pending_hulls)
+        # half the scaled AABB height ~ resting clearance above the palm
+        hh = self._pending_hulls.reshape(self.num_envs, -1, 3)[:, :, 2]
+        self._obj_heights = jnp.asarray(hh.max(axis=1), jnp.float32)

@@ -98,12 +98,13 @@ class TableTopFreeDrawEnv(BaseEnv):
         self.scene.register_extra("draw_step", (), jnp.int32)
 
     def _after_reconfigure(self, options: dict):
-        model = self.scene.model
-        adrs = [int(model.body_q_adr[d.body_id]) for d in self.dots]
-        assert adrs == list(range(adrs[0], adrs[0] + 7 * len(adrs), 7)), (
-            "dot qpos blocks must be contiguous"
+        # dots are dof-less mocap markers (kinematic, no collision): their
+        # poses live in Data.mocap_pose rows, not qpos
+        idxs = [d._mocap_idx for d in self.dots]
+        assert idxs == list(range(idxs[0], idxs[0] + len(idxs))), (
+            "dot mocap rows must be contiguous"
         )
-        self._dot_q0 = adrs[0]
+        self._dot_m0 = idxs[0]
 
     def _initialize_episode(self, env_idx: jax.Array, options: dict):
         self.table_scene.initialize(env_idx)
@@ -115,12 +116,11 @@ class TableTopFreeDrawEnv(BaseEnv):
             ]
         )
         d = self.scene.data
-        qa = self._dot_q0
-        block = jnp.tile(hidden, self.MAX_DOTS)
-        cur = d.qpos[:, qa : qa + 7 * self.MAX_DOTS]
-        new = jnp.broadcast_to(block, cur.shape)
+        m0 = self._dot_m0
+        cur = d.mocap_pose[:, m0 : m0 + self.MAX_DOTS]
+        new = jnp.broadcast_to(hidden, cur.shape)
         self.scene.data = d.replace(
-            qpos=d.qpos.at[:, qa : qa + 7 * self.MAX_DOTS].set(
+            mocap_pose=d.mocap_pose.at[:, m0 : m0 + self.MAX_DOTS].set(
                 self.scene.masked(new, cur)
             )
         )
@@ -147,14 +147,14 @@ class TableTopFreeDrawEnv(BaseEnv):
             [dot_pos, jnp.broadcast_to(jnp.asarray(_DOT_QUAT), dot_pos.shape[:1] + (4,))],
             axis=-1,
         )  # (B, 7)
-        idx = self._dot_q0 + 7 * jnp.minimum(step, self.MAX_DOTS - 1)
+        idx = self._dot_m0 + jnp.minimum(step, self.MAX_DOTS - 1)
 
-        def write_row(qrow, i, v):
-            return jax.lax.dynamic_update_slice(qrow, v, (i,))
+        def write_row(mrow, i, v):
+            return jax.lax.dynamic_update_slice(mrow, v[None], (i, 0))
 
-        qpos = jax.vmap(write_row)(d.qpos, idx, dot7)
+        mocap = jax.vmap(write_row)(d.mocap_pose, idx, dot7)
         scene.data = d.replace(
-            qpos=qpos, extras={**d.extras, "draw_step": step + 1}
+            mocap_pose=mocap, extras={**d.extras, "draw_step": step + 1}
         )
 
     def evaluate(self):

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from ....structs.pose import Pose
 from ....utils.geometry.rotation_conversions import (
     axis_angle_to_quaternion,
+    matrix_to_quaternion,
     quaternion_multiply,
 )
 
@@ -39,8 +40,6 @@ def batched_look_at(eye: jax.Array, target: jax.Array, up=(0.0, 0.0, 1.0)) -> Po
     left = left / jnp.maximum(jnp.linalg.norm(left, axis=-1, keepdims=True), 1e-9)
     true_up = jnp.cross(fwd, left)
     rot = jnp.stack([fwd, left, true_up], axis=-1)  # columns x=fwd, y=left, z=up
-    from ....utils.geometry.rotation_conversions import matrix_to_quaternion
-
     return Pose.create_from_pq(eye, matrix_to_quaternion(rot))
 
 

@@ -132,6 +132,9 @@ class ModelBuilder:
         self.drives: List[tuple] = []
         self.exclude_body_pairs: Set[Tuple[int, int]] = set()
         self._name_to_body: Dict[str, int] = {"world": 0}
+        # dof-less marker bodies (kinematic, no collision): poses live in
+        # Data.mocap_pose instead of qpos (see types.Model.mocap_bodies)
+        self.mocap_bodies: List[int] = []
 
     def add_drive(self, body1, pose1, body2, pose2,
                   stiffness=(1e3, 1e2), damping=(1e2, 1e1),
@@ -330,7 +333,9 @@ class ModelBuilder:
         # top-K compaction: only the deepest ~1/3 of candidates can ever be
         # simultaneously active in practice; disabled for small scenes
         if total_candidates > 64:
-            k = max(48, -(-total_candidates // 3 // 8) * 8)
+            # floor 32: measured worst-case live count on the contact-richest
+            # benchmark (FrankaPickCube, random thrash) is 22 of 78 candidates
+            k = max(32, -(-total_candidates // 3 // 8) * 8)
             max_active = min(total_candidates, k)
         else:
             max_active = 0
@@ -466,6 +471,11 @@ class ModelBuilder:
             timestep=self.timestep,
             solver_iterations=self.solver_iterations,
             max_active_contacts=max_active,
+            mocap_bodies=(
+                HArray(np.asarray(self.mocap_bodies, np.int32))
+                if self.mocap_bodies
+                else None
+            ),
             body_names=tuple(b.name for b in self.bodies),
             geom_names=tuple(g.name for g in col_geoms),
         )

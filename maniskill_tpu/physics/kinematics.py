@@ -224,7 +224,14 @@ def forward_kinematics(model: Model, data: Data) -> Data:
     for the struct layer / task code)."""
     xpos_c, xquat_c, v_c, w_c = forward_kinematics_cf(model, data.qpos, data.qvel)
     cvel = jnp.concatenate([cf.fb(v_c), cf.fb(w_c)], axis=-1)
-    return data.replace(xpos=cf.fb(xpos_c), xquat=cf.fb(xquat_c), cvel=cvel)
+    xpos, xquat = cf.fb(xpos_c), cf.fb(xquat_c)
+    if model.mocap_bodies is not None and data.mocap_pose is not None:
+        # dof-less marker bodies: splice their per-env poses in (static-index
+        # scatter). The dynamics/collision spine never reads these bodies.
+        mb = np.asarray(model.mocap_bodies)
+        xpos = xpos.at[:, mb].set(data.mocap_pose[..., :3])
+        xquat = xquat.at[:, mb].set(data.mocap_pose[..., 3:7])
+    return data.replace(xpos=xpos, xquat=xquat, cvel=cvel)
 
 
 def dof_frames(model: Model, data: Data) -> Tuple[jax.Array, jax.Array]:

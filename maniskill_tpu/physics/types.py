@@ -206,6 +206,16 @@ class Model:
     body_names: Tuple[str, ...] = struct.field(pytree_node=False, default=())
     geom_names: Tuple[str, ...] = struct.field(pytree_node=False, default=())
 
+    # ---- mocap (marker) bodies ----
+    # kinematic bodies with no collision geometry (goal sites, visual
+    # markers). They carry NO dofs: their per-env pose lives in
+    # Data.mocap_pose and is spliced into xpos/xquat after FK. This keeps nv
+    # small (every (B, nv, ·) array in the dynamics spine shrinks) while
+    # preserving the reference's repositionable-kinematic-actor semantics.
+    mocap_bodies: Optional[np.ndarray] = struct.field(
+        pytree_node=False, default=None
+    )  # (M,) i32 body ids
+
     # ---- body-body 6-dof drives (reference structs/drive.py analog) ----
     # spring-damper wrenches pulling frame2 (on body2) toward frame1 (on
     # body1) composed with a per-env target relative pose (Data.drive6_target)
@@ -297,6 +307,8 @@ class Data:
     # per-env target relative pose for each body-body 6-dof drive
     # (frame2 is driven toward frame1 ∘ target); (B, ND, 7)
     drive6_target: Optional[jax.Array] = None
+    # per-env poses of dof-less mocap (marker) bodies; (B, M, 7)
+    mocap_pose: Optional[jax.Array] = None
     # task-specific persistent per-env state (e.g. sticky reward flags);
     # registered by envs at load time, reset-masked like everything else
     extras: Dict[str, jax.Array] = struct.field(default_factory=dict)
@@ -333,6 +345,20 @@ def make_data(model: Model, batch_size: int, qpos0: Optional[np.ndarray] = None)
             else jnp.broadcast_to(
                 jnp.asarray([0, 0, 0, 1, 0, 0, 0], jnp.float32),
                 (B, len(model.drive6_body1), 7),
+            )
+        ),
+        mocap_pose=(
+            None
+            if model.mocap_bodies is None
+            else jnp.broadcast_to(
+                jnp.concatenate(
+                    [
+                        jnp.asarray(model.body_pos)[np.asarray(model.mocap_bodies)],
+                        jnp.asarray(model.body_quat)[np.asarray(model.mocap_bodies)],
+                    ],
+                    axis=-1,
+                ),
+                (B, len(model.mocap_bodies), 7),
             )
         ),
         extras={},

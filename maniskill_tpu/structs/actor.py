@@ -40,6 +40,8 @@ class Actor:
         # q/dof addresses wired by scene.finalize() (model exists only then)
         self._q_adr = None
         self._dof_adr = None
+        # index into Data.mocap_pose for dof-less kinematic markers
+        self._mocap_idx = None
 
     # ------------------------------------------------------------------
     @property
@@ -58,6 +60,8 @@ class Actor:
         if self.is_static:
             raw = jnp.asarray(self.initial_pose, jnp.float32)
             return Pose(jnp.broadcast_to(raw, (self.scene.num_envs, 7)))
+        if self._mocap_idx is not None:
+            return Pose(self.scene.data.mocap_pose[:, self._mocap_idx])
         qa = self._q_adr
         return Pose(self.scene.data.qpos[:, qa : qa + 7])
 
@@ -70,8 +74,16 @@ class Actor:
             raise RuntimeError(f"cannot set pose of static actor {self.name}")
         raw = Pose.create(pose).raw_pose
         raw = jnp.broadcast_to(raw, (self.scene.num_envs, 7)).astype(jnp.float32)
-        qa = self._q_adr
         d = self.scene.data
+        if self._mocap_idx is not None:
+            mi = self._mocap_idx
+            cur = d.mocap_pose[:, mi]
+            new = self.scene.masked(raw, cur)
+            self.scene.data = d.replace(
+                mocap_pose=d.mocap_pose.at[:, mi].set(new)
+            )
+            return
+        qa = self._q_adr
         cur = d.qpos[:, qa : qa + 7]
         new = self.scene.masked(raw, cur)
         self.scene.data = d.replace(qpos=d.qpos.at[:, qa : qa + 7].set(new))
@@ -79,7 +91,7 @@ class Actor:
     # -- velocities ----------------------------------------------------
     @property
     def linear_velocity(self) -> jax.Array:
-        if self.is_static:
+        if self.is_static or self._mocap_idx is not None:
             return jnp.zeros((self.scene.num_envs, 3), jnp.float32)
         va = self._dof_adr
         return self.scene.data.qvel[:, va : va + 3]
@@ -93,7 +105,7 @@ class Actor:
 
     @property
     def angular_velocity(self) -> jax.Array:
-        if self.is_static:
+        if self.is_static or self._mocap_idx is not None:
             return jnp.zeros((self.scene.num_envs, 3), jnp.float32)
         va = self._dof_adr
         return self.scene.data.qvel[:, va + 3 : va + 6]
@@ -108,6 +120,8 @@ class Actor:
     def _set_vel(self, sl, v):
         if self.is_static:
             raise RuntimeError(f"cannot set velocity of static actor {self.name}")
+        if self._mocap_idx is not None:
+            return  # mocap markers have no dofs; velocity is identically zero
         va = self._dof_adr
         lo, hi = va + sl.start, va + sl.stop
         v = jnp.broadcast_to(jnp.asarray(v, jnp.float32), (self.scene.num_envs, sl.stop - sl.start))

@@ -15,7 +15,8 @@ from maniskill_tpu.physics.kinematics import forward_kinematics
 from maniskill_tpu.physics.solver import solve
 
 N = int(os.environ.get("N", "4096"))
-env = make("FrankaMoveBenchmark-v1", num_envs=N, obs_mode="state",
+ENV_ID = os.environ.get("ENV_ID", "FrankaMoveBenchmark-v1")
+env = make(ENV_ID, num_envs=N, obs_mode="state",
            control_mode="pd_joint_delta_pos")
 base = env.unwrapped
 env.reset(seed=0)

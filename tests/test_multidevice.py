@@ -54,6 +54,42 @@ def test_sharded_rollout_matches_single_device():
     env.close()
 
 
+def test_sharded_contact_rich_rollout():
+    """Contact solver + hull narrowphase execute under env-axis sharding
+    and match the single-device trajectory (VERDICT r3 #7)."""
+    n = len(jax.devices())
+    env = make("PickCube-v1", num_envs=n * 2, obs_mode="state")
+    ref = _rollout(env, seed=7, steps=3, shard=False)
+    env.reset(seed=7)
+    got = _rollout(env, seed=7, steps=3, shard=True)
+    np.testing.assert_allclose(ref, got, atol=1e-5)
+    env.close()
+
+
+def test_sharded_rgb_rollout():
+    """The rasterized rgb obs pipeline executes under env-axis sharding."""
+    n = len(jax.devices())
+    env = make("PushCube-v1", num_envs=n * 2, obs_mode="rgb")
+    base = env.unwrapped
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    env.reset(seed=1)
+    mesh = Mesh(np.array(jax.devices()), ("env",))
+    sharding = NamedSharding(mesh, P("env"))
+    data = jax.tree.map(
+        lambda x: jax.device_put(x, sharding)
+        if hasattr(x, "ndim") and x.ndim and x.shape[0] == base.num_envs
+        else x,
+        base.scene.data,
+    )
+    base.scene.bind(data)
+    act = jnp.zeros((base.num_envs,) + base.single_action_space.shape, jnp.float32)
+    obs, rew, term, trunc, info = env.step(act)
+    rgb = obs["sensor_data"]["base_camera"]["rgb"] if isinstance(obs, dict) else obs
+    assert np.asarray(jax.tree.leaves(rgb)[0]).shape[0] == base.num_envs
+    env.close()
+
+
 def test_sharded_ppo_step_runs():
     """The full fused PPO train step jits and executes over the mesh
     (the dryrun_multichip path, kept under test)."""
