@@ -144,7 +144,11 @@ class ActorBuilder:
             self.collisions.append(rec)
         return self
 
-    def add_visual_from_mesh(self, verts, faces, pose=None, color=None, material=None):
+    def add_visual_from_mesh(self, verts, faces, pose=None, color=None,
+                             material=None, face_colors=None):
+        """``face_colors`` (F, 3) carries baked texture colors
+        (render/textures.py): per-face samples of a texture image, the
+        TPU-native realization of the reference's UV-textured materials."""
         rec = dict(
             type=5,  # MESH (visual only)
             size=np.ones(3),
@@ -153,9 +157,23 @@ class ActorBuilder:
             friction=0.0,
             color=_color(material, color),
             mesh=(np.asarray(verts, np.float32), np.asarray(faces, np.int32)),
+            face_colors=(
+                None if face_colors is None
+                else np.asarray(face_colors, np.float32)
+            ),
         )
         self.visuals.append(rec)
         return self
+
+    def add_textured_visual(self, image, half_x, half_y, pose=None, res=12,
+                            uv_tiles: float = 1.0):
+        """Textured z-up quad (table tops, floors): tessellated grid with
+        per-face baked colors from ``image`` (render/textures.py)."""
+        from ..render.textures import textured_quad_grid
+
+        v, f, fc = textured_quad_grid(half_x, half_y, image, res=res,
+                                      uv_tiles=uv_tiles)
+        return self.add_visual_from_mesh(v, f, pose=pose, face_colors=fc)
 
     def set_initial_pose(self, pose):
         self.initial_pose = _pose7(pose)
@@ -275,6 +293,7 @@ class ActorBuilder:
                 color=v["color"] or (0.5, 0.5, 0.5, 1.0),
                 name=f"{name}_vis_{len(mb.geoms)}",
                 mesh=v.get("mesh"),
+                face_colors=v.get("face_colors"),
             )
         actor = Actor(
             self.scene,

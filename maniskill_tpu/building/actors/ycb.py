@@ -210,3 +210,33 @@ def cooked_hulls(model_id: str, max_parts: int = 8):
 
     v, f = load_model_mesh(model_id)
     return decompose_mesh(v, f, max_parts=max_parts)
+
+
+def load_model_visual(model_id: str, max_faces: int = 800):
+    """Visual mesh + baked texture colors for a model.
+
+    Real dataset present: ``textured.obj`` with per-face centroid-UV texture
+    samples (render/textures.py bake contract). Otherwise the procedural
+    stand-in with flat per-model colors. Returns (verts, faces, face_colors
+    or None)."""
+    real = (
+        ASSET_DIR / "assets" / "mani_skill2_ycb" / "models" / model_id
+        / "textured.obj"
+    )
+    if real.exists():
+        from ...render.textures import bake_obj_face_colors
+        from ...utils.geometry.mesh_io import decimate
+
+        v, f, fc = bake_obj_face_colors(str(real))
+        if len(f) > max_faces:
+            # decimate AFTER baking loses alignment; re-bake on the decimated
+            # topology instead by nearest-face color transfer (centroid match)
+            dv, df = decimate(v, f, max_faces)
+            cen_d = dv[df].mean(axis=1)
+            cen_o = v[f].mean(axis=1)
+            # nearest original face per decimated face (small N, host-side)
+            d2 = ((cen_d[:, None, :] - cen_o[None, :, :]) ** 2).sum(-1)
+            fc = fc[np.argmin(d2, axis=1)]
+            v, f = dv, df
+        return v, f, fc
+    return (*load_model_mesh(model_id), None)

@@ -56,38 +56,40 @@ def _origin(el):
 
 
 def _parse_geometry(geom_el, mesh_fallback: bool, base_dir: str = ".",
-                    visual: bool = False, convex_hulls: bool = False):
+                    visual: bool = False, convex_hulls: bool = False,
+                    scale: float = 1.0):
     """Returns a ShapeSpec, a list of ShapeSpecs (multi-hull meshes), or None."""
     g = geom_el.find("geometry")
     if g is None:
         return None
     pos, quat = _origin(geom_el)
+    pos = np.asarray(pos) * scale
     box = g.find("box")
     if box is not None:
-        size = _floats(box.get("size")) / 2
+        size = _floats(box.get("size")) / 2 * scale
         return ShapeSpec(BOX, size, pos, quat)
     sph = g.find("sphere")
     if sph is not None:
-        return ShapeSpec(SPHERE, [float(sph.get("radius")), 0, 0], pos, quat)
+        return ShapeSpec(SPHERE, [float(sph.get("radius")) * scale, 0, 0], pos, quat)
     cyl = g.find("cylinder")
     if cyl is not None:
-        r = float(cyl.get("radius"))
-        hl = float(cyl.get("length")) / 2
+        r = float(cyl.get("radius")) * scale
+        hl = float(cyl.get("length")) / 2 * scale
         return ShapeSpec(CYLINDER, [r, hl, 0], pos, quat)
     cap = g.find("capsule")
     if cap is not None:
-        r = float(cap.get("radius"))
-        hl = float(cap.get("length")) / 2
+        r = float(cap.get("radius")) * scale
+        hl = float(cap.get("length")) / 2 * scale
         return ShapeSpec(CAPSULE, [r, hl, 0], pos, quat)
     mesh = g.find("mesh")
     if mesh is not None:
         return _cook_mesh(mesh, pos, quat, base_dir, visual, mesh_fallback,
-                          convex_hulls=convex_hulls)
+                          convex_hulls=convex_hulls, scale=scale)
     return None
 
 
 def _cook_mesh(mesh_el, pos, quat, base_dir, visual, mesh_fallback,
-               convex_hulls: bool = False):
+               convex_hulls: bool = False, scale: float = 1.0):
     """Mesh geometry: load + cook with the native library.
 
     Collision meshes get a fitted primitive (capsule for elongated shapes,
@@ -99,7 +101,7 @@ def _cook_mesh(mesh_el, pos, quat, base_dir, visual, mesh_fallback,
     from ..utils.geometry.mesh_io import decimate, load_mesh
 
     fname = mesh_el.get("filename", "")
-    scale = _floats(mesh_el.get("scale"), np.ones(3))
+    mesh_scale = _floats(mesh_el.get("scale"), np.ones(3))
     path = fname
     if not os.path.isabs(path):
         path = os.path.join(base_dir, fname)
@@ -110,7 +112,7 @@ def _cook_mesh(mesh_el, pos, quat, base_dir, visual, mesh_fallback,
             return ShapeSpec(SPHERE, [0.03, 0, 0], pos, quat)
         logger.warning("URDF mesh %s not loadable (%s); skipped", fname, e)
         return None
-    verts = verts * np.asarray(scale, np.float32)
+    verts = verts * (np.asarray(mesh_scale, np.float32) * scale)
 
     if visual:
         verts, faces = decimate(verts, faces, 600)
@@ -219,6 +221,7 @@ class URDFLoader:
             "revolute": HINGE, "continuous": HINGE, "prismatic": SLIDE,
             "fixed": FIXED, "floating": FIXED,
         }
+        scale = float(self.scale)
         for name in order:
             link_el = links[name]
             spec = LinkSpec(name, parents[name])
@@ -227,6 +230,7 @@ class URDFLoader:
                 spec.joint_type = jtype_map.get(j.get("type"), FIXED)
                 spec.joint_name = j.get("name")
                 spec.origin_pos, spec.origin_quat = _origin(j)
+                spec.origin_pos = np.asarray(spec.origin_pos) * scale
                 ax = j.find("axis")
                 spec.axis = (
                     _floats(ax.get("xyz")) if ax is not None else np.array([1.0, 0, 0])
@@ -235,6 +239,10 @@ class URDFLoader:
                 if lim is not None and j.get("type") != "continuous":
                     lo = float(lim.get("lower", "-inf") or -np.inf)
                     hi = float(lim.get("upper", "inf") or np.inf)
+                    if j.get("type") == "prismatic":
+                        # loader.scale scales all spatial quantities,
+                        # prismatic travel included (SAPIEN loader semantics)
+                        lo, hi = lo * scale, hi * scale
                     spec.limit = (lo, hi)
                 dyn = j.find("dynamics")
                 if dyn is not None:
@@ -248,7 +256,7 @@ class URDFLoader:
                 m = inertial.find("mass")
                 spec.mass = float(m.get("value")) if m is not None else 1e-4
                 com, iquat = _origin(inertial)
-                spec.com = com
+                spec.com = np.asarray(com) * scale
                 ine = inertial.find("inertia")
                 if ine is not None:
                     ixx = float(ine.get("ixx", 1e-7))
@@ -258,11 +266,12 @@ class URDFLoader:
                     ixz = float(ine.get("ixz", 0))
                     iyz = float(ine.get("iyz", 0))
                     I = np.array([[ixx, ixy, ixz], [ixy, iyy, iyz], [ixz, iyz, izz]])
-                    # rotate into the inertial frame orientation
+                    # rotate into the inertial frame orientation; rotational
+                    # inertia scales with length^2 under uniform scaling
                     from .inertia import quat_to_mat_np
 
                     R = quat_to_mat_np(iquat)
-                    spec.inertia = R @ I @ R.T
+                    spec.inertia = (R @ I @ R.T) * scale**2
             else:
                 spec.mass = 1e-4
                 spec.inertia = np.full(3, 1e-8)
@@ -271,6 +280,7 @@ class URDFLoader:
                 shape = _parse_geometry(
                     col, self.mesh_fallback, base_dir,
                     convex_hulls=self.load_multiple_collisions_from_file,
+                    scale=scale,
                 )
                 if isinstance(shape, list):
                     spec.collisions.extend(shape)
@@ -278,7 +288,8 @@ class URDFLoader:
                     spec.collisions.append(shape)
             for vis in link_el.findall("visual"):
                 shape = _parse_geometry(
-                    vis, mesh_fallback=True, base_dir=base_dir, visual=True
+                    vis, mesh_fallback=True, base_dir=base_dir, visual=True,
+                    scale=scale,
                 )
                 if shape is not None:
                     spec.visuals.append(shape)

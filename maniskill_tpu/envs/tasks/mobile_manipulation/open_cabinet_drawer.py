@@ -57,10 +57,131 @@ class OpenCabinetBase(BaseEnv):
         return (v["drawers"] if self.target_kind == "drawer" else v["doors"]) > 0
 
     def _load_scene(self, options: dict):
+        import os
+
+        from ....building.articulations.partnet_mobility import (
+            partnet_mobility_available,
+        )
+
         self.ground = build_ground(self.scene)
-        self.cabinet, self.cab_meta = build_cabinet_template(self.scene)
+        # real-asset path: when the PartNet-Mobility dataset (or the
+        # committed schema fixture) is present, cook a real cabinet URDF into
+        # the articulation tables instead of the procedural union template
+        # (reference open_cabinet_drawer.py:134-176 samples real models)
+        self._use_partnet = (
+            os.environ.get("MS_PARTNET_CABINETS", "auto") != "0"
+            and partnet_mobility_available()
+        )
+        if self._use_partnet:
+            self._load_partnet_cabinet(options)
+        else:
+            self.cabinet, self.cab_meta = build_cabinet_template(self.scene)
+
+    def _load_partnet_cabinet(self, options: dict):
+        """Cook a real PartNet-Mobility URDF: URDF -> multi-hull convex
+        decomposition -> articulation tables. All envs share the model's
+        topology (static shapes); per-env randomization happens in target
+        selection and initial state."""
+        from ....building.articulations.partnet_mobility import (
+            available_model_ids,
+            get_partnet_mobility_builder,
+            load_partnet_mobility_dataset,
+        )
+
+        ids = available_model_ids()
+        rng = self._main_rng or np.random.RandomState(2024)
+        mid = ids[rng.randint(len(ids))]
+        builder, meta = get_partnet_mobility_builder(self.scene, mid)
+        # place the cabinet with its bottom on the ground, front face +x
+        bbox = meta.get("bbox")
+        scale = float(meta.get("scale", 1.0))
+        z0 = -bbox["min"][2] * scale if bbox else 0.4
+        builder.set_initial_pose(np.array([0.1, 0.0, z0, 1, 0, 0, 0]))
+        builder.disable_self_collisions = True
+        self.cabinet = builder.build("cabinet")
+        self._pn_model_id = mid
+
+        # slots = movable joints; handle point = front-face center of the
+        # link's collision AABB (host-side, from the builder specs)
+        slots, handle_local, limits, kinds = [], [], [], []
+        spec_of = {s.name: s for s in builder.links}
+        from ....physics.types import HINGE, SLIDE
+
+        for j in self.cabinet.active_joints:
+            if j.jnt_type not in (HINGE, SLIDE):
+                continue
+            link = j.child_link
+            spec = spec_of[link.name.split(":")[-1]]
+            lo = np.full(3, np.inf)
+            hi = np.full(3, -np.inf)
+            for c in spec.collisions:
+                if c.hull is not None:
+                    v = np.asarray(c.hull) + np.asarray(c.pos)
+                else:
+                    half = np.asarray(c.size, float)
+                    v = np.asarray(c.pos) + np.stack([half, -half])
+                lo = np.minimum(lo, v.min(axis=0))
+                hi = np.maximum(hi, v.max(axis=0))
+            handle_local.append(
+                [hi[0], 0.5 * (lo[1] + hi[1]), 0.5 * (lo[2] + hi[2])]
+            )
+            slots.append((link, j))
+            lim = spec.limit
+            lim = (
+                (0.0, 1.0)
+                if lim is None or not np.isfinite(lim).all()
+                else (float(lim[0]), float(lim[1]))
+            )
+            limits.append(lim)
+            kinds.append("drawer" if j.jnt_type == SLIDE else "door")
+        self._pn_slots = slots
+        self._pn_handle_local = np.asarray(handle_local, np.float32)
+        self._pn_limits = np.asarray(limits, np.float32)
+        self._pn_kinds = kinds
+
+        class _Meta:
+            pass
+
+        m = _Meta()
+        m.slot_links = [l for l, _ in slots]
+        m.slot_joints = [j for _, j in slots]
+        _Meta.slot_bodies = property(
+            lambda s: np.array([l.body_id for l in s.slot_links], np.int32)
+        )
+        _Meta.slot_dofs = property(
+            lambda s: np.array([j.dof_adr for j in s.slot_joints], np.int32)
+        )
+        _Meta.slot_qadrs = property(
+            lambda s: np.array([j.q_adr for j in s.slot_joints], np.int32)
+        )
+        self.cab_meta = m
+
+    def _after_reconfigure_partnet(self, options: dict):
+        B = self.num_envs
+        S = len(self._pn_slots)
+        rng = np.random.RandomState(
+            int(np.asarray(self._episode_seeds[0])) & 0x7FFFFFFF
+        )
+        cands = [i for i, k in enumerate(self._pn_kinds) if k == self.target_kind]
+        if not cands:  # model lacks the target joint kind: fall back to any
+            cands = list(range(S))
+        targets = np.asarray(cands)[rng.randint(0, len(cands), B)]
+        self.target_slot = jnp.asarray(targets)
+        self.target_onehot = jnp.asarray(np.eye(S, dtype=np.float32)[targets])
+        self.handle_local = jnp.broadcast_to(
+            jnp.asarray(self._pn_handle_local), (B, S, 3)
+        )
+        self.slot_limits = jnp.broadcast_to(
+            jnp.asarray(self._pn_limits), (B, S, 2)
+        )
+        self.active_mask = jnp.ones((B, S), jnp.float32)
+        self._num_slots = S
 
     def _after_reconfigure(self, options: dict):
+        if getattr(self, "_use_partnet", False):
+            self._after_reconfigure_partnet(options)
+            return
+        self._num_slots = NUM_SLOTS
         # per-env tables bind to the finalized Model (scene.model exists now)
         B = self.num_envs
 
@@ -131,8 +252,8 @@ class OpenCabinetBase(BaseEnv):
             qpos = qpos.at[:, 1].set(self._batched_episode_rng.uniform(-0.2, 0.2))
             qpos = qpos.at[:, 2].set(np.pi + yaw)
         self.agent.reset(qpos)
-        self.cabinet.set_qpos(jnp.zeros((B, NUM_SLOTS), jnp.float32))
-        self.cabinet.set_qvel(jnp.zeros((B, NUM_SLOTS), jnp.float32))
+        self.cabinet.set_qpos(jnp.zeros((B, self.cabinet.dof), jnp.float32))
+        self.cabinet.set_qvel(jnp.zeros((B, self.cabinet.dof), jnp.float32))
 
     def evaluate(self):
         fracs = self._slot_fracs()

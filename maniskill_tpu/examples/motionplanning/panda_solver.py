@@ -38,6 +38,10 @@ class PandaMotionPlanningSolver:
         )
         self.q_adrs = self.kin.q_adrs
         self.joint_vel_limit = joint_vel_limit
+        # gripper-less variants (panda_stick for the drawing tasks) expose an
+        # arm-only action dict
+        mapping = getattr(agent.controller, "action_mapping", {})
+        self.has_gripper = "gripper" in mapping if mapping else True
         self.gripper_state = self.OPEN
         self.control_dt = 1.0 / self.base.control_freq
         self.elapsed_steps = 0
@@ -50,12 +54,10 @@ class PandaMotionPlanningSolver:
     def _exec_targets(self, targets):
         """Step the env once with absolute arm targets + current gripper."""
         B = self.base.num_envs
-        action = self.base.agent.controller.from_action_dict(
-            dict(
-                arm=targets,
-                gripper=jnp.full((B, 1), self.gripper_state, jnp.float32),
-            )
-        )
+        act = dict(arm=targets)
+        if self.has_gripper:
+            act["gripper"] = jnp.full((B, 1), self.gripper_state, jnp.float32)
+        action = self.base.agent.controller.from_action_dict(act)
         obs, rew, term, trunc, info = self.env.step(action)
         self.elapsed_steps += 1
         self.last_info = info

@@ -312,6 +312,169 @@ def solve_pull_cube_tool(env, debug: bool = False):
     return result
 
 
+def _yaw_of(q):
+    return jnp.arctan2(
+        2 * (q[:, 0] * q[:, 3] + q[:, 1] * q[:, 2]),
+        1 - 2 * (q[:, 2] ** 2 + q[:, 3] ** 2),
+    )
+
+
+def solve_peg_insertion_side(env, debug: bool = False):
+    """PegInsertionSide: grasp the peg near its tail, align with the box
+    hole, iteratively refine, insert (reference
+    solutions/peg_insertion_side.py:26-95 flow, batched)."""
+    from ...structs.pose import Pose
+
+    base = env.unwrapped
+    mp = PandaMotionPlanningSolver(env, joint_vel_limit=0.9)
+    mp.open_gripper(steps=3)
+
+    L = base.peg_half_sizes[:, 0]
+    r = base.peg_half_sizes[:, 2]
+    peg0 = base.peg.pose
+    yaw = _yaw_of(peg0.q)
+    grasp_q = _yawed_down_q(yaw)
+    # grasp offset toward the tail so the head stays clear for insertion
+    off = jnp.maximum(0.05, L / 2 + 0.01)
+    dirx = jnp.stack([jnp.cos(yaw), jnp.sin(yaw)], axis=-1)
+    gxy = peg0.p[:, :2] - dirx * off[:, None]
+    B = gxy.shape[0]
+    hover = jnp.concatenate([gxy, jnp.full((B, 1), 0.10)], axis=-1)
+    mp.move_to_pose(_pose(hover, grasp_q), refine_steps=3)
+    grasp = jnp.concatenate([gxy, r[:, None]], axis=-1)
+    mp.move_to_pose(_pose(grasp, grasp_q), refine_steps=5)
+    mp.close_gripper(steps=8)
+
+    # align: carry the grasped peg so it sits in front of the hole, head -x
+    # of the box (insert = goal ∘ peg0⁻¹ ∘ tcp0, reference :78-87)
+    tcp0 = base.agent.tcp.pose
+    peg_now = base.peg.pose
+    goal = base.goal_pose
+    lift = Pose.create_from_pq(p=jnp.zeros((B, 3)).at[:, 2].set(0.06))
+    mp.move_to_pose((lift * tcp0).raw_pose, refine_steps=3)
+
+    def _off(dx):
+        return Pose.create_from_pq(
+            p=jnp.stack([dx, jnp.zeros(B), jnp.zeros(B)], axis=-1)
+        )
+
+    # desired_tcp = desired_peg ∘ (peg⁻¹ ∘ tcp); desired_peg = goal ∘ Off(-δ)
+    # (Off is expressed in the goal/box frame: -x = out of the hole)
+    pre = goal * _off(-0.01 - L) * peg_now.inv() * base.agent.tcp.pose
+    mp.move_to_pose(pre.raw_pose, steps=80, refine_steps=6, arc_steps=6)
+    # iterative alignment: re-measure the peg's residual error and correct
+    for _ in range(3):
+        pre = goal * _off(-0.01 - L) * base.peg.pose.inv() * base.agent.tcp.pose
+        mp.move_to_pose(pre.raw_pose, steps=30, refine_steps=4)
+    push = goal * _off(jnp.full(B, 0.02)) * base.peg.pose.inv() * base.agent.tcp.pose
+    result = mp.move_to_pose(push.raw_pose, steps=40, refine_steps=8)
+    return result
+
+
+def solve_plug_charger(env, debug: bool = False):
+    """PlugCharger: grasp the charger base, align with the receptacle slot,
+    insert (reference solutions/plug_charger.py:29-100 flow, batched)."""
+    from ...structs.pose import Pose
+
+    base = env.unwrapped
+    mp = PandaMotionPlanningSolver(env, joint_vel_limit=0.6)
+    mp.open_gripper(steps=3)
+
+    ch0 = base.charger.pose
+    yaw = _yaw_of(ch0.q)
+    grasp_q = _yawed_down_q(yaw)
+    B = ch0.p.shape[0]
+    bz = base._base_size[2]
+    grasp = ch0.p.at[:, 2].set(bz)
+    hover = grasp.at[:, 2].set(0.08)
+    mp.move_to_pose(_pose(hover, grasp_q), refine_steps=3)
+    mp.move_to_pose(_pose(grasp, grasp_q), refine_steps=5)
+    mp.close_gripper(steps=8)
+
+    def _off(dx):
+        return Pose.create_from_pq(
+            p=jnp.stack([jnp.full(B, dx), jnp.zeros(B), jnp.zeros(B)], axis=-1)
+        )
+
+    goal = base.goal_pose
+    pre = goal * _off(-0.05) * base.charger.pose.inv() * base.agent.tcp.pose
+    mp.move_to_pose(pre.raw_pose, steps=80, refine_steps=4, arc_steps=6)
+    for _ in range(2):
+        pre = goal * _off(-0.05) * base.charger.pose.inv() * base.agent.tcp.pose
+        mp.move_to_pose(pre.raw_pose, steps=25, refine_steps=5)
+    ins = goal * base.charger.pose.inv() * base.agent.tcp.pose
+    result = mp.move_to_pose(ins.raw_pose, steps=40, refine_steps=8)
+    return result
+
+
+def _trace_polyline(mp, env, pts_xy, draw_z, steps_per_seg=20):
+    """Drive the stick tip along a closed 2D polyline on the canvas."""
+    base = env.unwrapped
+    B = pts_xy.shape[0]
+    start = jnp.concatenate(
+        [pts_xy[:, 0], jnp.full((B, 1), draw_z + 0.05)], axis=-1
+    )
+    mp.move_to_pose(_pose(start), refine_steps=3)
+    result = None
+    n_seg = pts_xy.shape[1]
+    for s in range(n_seg):
+        target = jnp.concatenate(
+            [pts_xy[:, s], jnp.full((B, 1), draw_z)], axis=-1
+        )
+        result = mp.move_to_pose(_pose(target), steps=steps_per_seg)
+    return result
+
+
+def solve_draw_triangle(env, debug: bool = False):
+    """DrawTriangle: trace the three edges with the stick tip touching the
+    canvas (reference solutions/draw_triangle.py flow)."""
+    base = env.unwrapped
+    mp = PandaMotionPlanningSolver(env, joint_vel_limit=0.7)
+    verts = base.scene.data.extras["tri_verts"][:, :, :2]  # (B, 3, 2)
+    # waypoints: v0 -> v1 -> v2 -> v0, subdivided so the tip passes within
+    # THRESHOLD of every reference point
+    segs = []
+    n_sub = 8
+    for e in range(3):
+        a = verts[:, e]
+        b = verts[:, (e + 1) % 3]
+        for k in range(n_sub):
+            segs.append(a + (b - a) * ((k + 1) / n_sub))
+    pts = jnp.stack(segs, axis=1)  # (B, 24, 2)
+    draw_z = base.CANVAS_THICKNESS + base.DOT_THICKNESS
+    # descend onto the first vertex before tracing
+    B = pts.shape[0]
+    mp.move_to_pose(
+        _pose(jnp.concatenate([verts[:, 0], jnp.full((B, 1), draw_z + 0.05)], -1)),
+        refine_steps=2,
+    )
+    mp.move_to_pose(
+        _pose(jnp.concatenate([verts[:, 0], jnp.full((B, 1), draw_z)], -1)),
+        refine_steps=2,
+    )
+    return _trace_polyline(mp, env, pts, draw_z, steps_per_seg=6)
+
+
+def solve_draw_svg(env, debug: bool = False):
+    """DrawSVG: trace the target polyline (reference solutions/draw_svg.py)."""
+    base = env.unwrapped
+    mp = PandaMotionPlanningSolver(env, joint_vel_limit=0.7)
+    pts = base.scene.data.extras["svg_points"]  # (B, N_REF, 2)
+    # every 3rd reference point as a waypoint keeps within THRESHOLD
+    pts = pts[:, ::3]
+    draw_z = base.CANVAS_THICKNESS + base.DOT_THICKNESS
+    B = pts.shape[0]
+    mp.move_to_pose(
+        _pose(jnp.concatenate([pts[:, 0], jnp.full((B, 1), draw_z + 0.05)], -1)),
+        refine_steps=2,
+    )
+    mp.move_to_pose(
+        _pose(jnp.concatenate([pts[:, 0], jnp.full((B, 1), draw_z)], -1)),
+        refine_steps=2,
+    )
+    return _trace_polyline(mp, env, pts, draw_z, steps_per_seg=4)
+
+
 SOLUTIONS = {
     "PushCube-v1": solve_push_cube,
     "PickCube-v1": solve_pick_cube,
@@ -321,4 +484,8 @@ SOLUTIONS = {
     "StackPyramid-v1": solve_stack_pyramid,
     "LiftPegUpright-v1": solve_lift_peg_upright,
     "PullCubeTool-v1": solve_pull_cube_tool,
+    "PegInsertionSide-v1": solve_peg_insertion_side,
+    "PlugCharger-v1": solve_plug_charger,
+    "DrawTriangle-v1": solve_draw_triangle,
+    "DrawSVG-v1": solve_draw_svg,
 }

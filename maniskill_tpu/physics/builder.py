@@ -75,6 +75,9 @@ class GeomDef:
     visual: bool = True
     collision: bool = True
     mesh: Optional[tuple] = None  # (verts (V,3) f32, faces (F,3) i32) for MESH visuals
+    # baked per-face texture colors for MESH visuals, (F, 3) f32 in [0,1]
+    # (render/textures.py: textures are baked to geometry at load time)
+    face_colors: Optional[object] = None
     # convex hull proxy (geom type HULL): (HULL_MAX_VERTS, 3) local verts +
     # (HULL_MAX_DIRS, 3) candidate facet normals (building/cooking.py)
     hull: Optional[object] = None
@@ -219,6 +222,7 @@ class ModelBuilder:
         visual: bool = True,
         collision: bool = True,
         mesh=None,
+        face_colors=None,
         hull=None,
         hull_dirs=None,
     ) -> int:
@@ -242,6 +246,9 @@ class ModelBuilder:
             visual=visual,
             collision=collision,
             mesh=mesh,
+            face_colors=(
+                None if face_colors is None else np.asarray(face_colors, np.float32)
+            ),
             hull=None if hull is None else np.asarray(hull, np.float32),
             hull_dirs=None if hull_dirs is None else np.asarray(hull_dirs, np.float32),
         )
@@ -334,8 +341,10 @@ class ModelBuilder:
         # simultaneously active in practice; disabled for small scenes
         if total_candidates > 64:
             # floor 32: measured worst-case live count on the contact-richest
-            # benchmark (FrankaPickCube, random thrash) is 22 of 78 candidates
-            k = max(32, -(-total_candidates // 3 // 8) * 8)
+            # benchmarks (FrankaPickCube / PickCube, random thrash) is 22-26
+            # of 78-131 candidates; 1/4 of the candidate set with the floor
+            # keeps 25%+ headroom while the solver cost scales with K
+            k = max(32, -(-total_candidates // 4 // 8) * 8)
             max_active = min(total_candidates, k)
         else:
             max_active = 0

@@ -22,6 +22,31 @@ from ..utils.geometry import rotation_conversions as rc
 FACE_CHUNK = 64
 
 
+def _spread3(x: np.ndarray) -> np.ndarray:
+    """Spread 10 bits of x so consecutive bits land 3 apart (Morton)."""
+    x = x.astype(np.int64) & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def _spatial_face_order(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Morton order of face centroids (local coords).
+
+    The Pallas rasterizer bins faces in GROUPs of 8 consecutive records;
+    spatially sorted faces make each group a tight surface patch whose
+    screen-space y-span stays small under any camera, so per-band group
+    lists stay short. Static per-mesh, zero per-frame cost."""
+    cen = np.asarray(verts, np.float64)[np.asarray(faces)].mean(axis=1)
+    lo = cen.min(axis=0)
+    ext = np.maximum(cen.max(axis=0) - lo, 1e-9)
+    q = np.clip(((cen - lo) / ext) * 1023.0, 0, 1023).astype(np.int64)
+    code = (_spread3(q[:, 0]) << 2) | (_spread3(q[:, 1]) << 1) | _spread3(q[:, 2])
+    return np.argsort(code, kind="stable")
+
+
 class SceneMesh:
     """Static scene geometry compiled for rendering.
 
@@ -107,12 +132,26 @@ class SceneMesh:
                     verts_b.append((voff, vb))
             else:
                 v, f = geom_mesh(gdef.type, geom_size[g])
+            fc = getattr(gdef, "face_colors", None)
+            if fc is not None and len(fc) == len(f):
+                # baked texture: per-face centroid samples (render/textures.py)
+                fc = np.asarray(fc, np.float32)
+            else:
+                color = np.asarray(gdef.color[:3], np.float32)
+                fc = np.tile(color, (len(f), 1))
+            if len(f) > 8:
+                # spatial (Morton) face order: keeps the Pallas binner's
+                # 8-face groups to tight surface patches (per-env hulls use
+                # the env-0 placeholder verts — same topology family, so the
+                # ordering stays representative)
+                order = _spatial_face_order(v if v.ndim == 2 else v[0], f)
+                f = f[order]
+                fc = fc[order]
             verts_l.append(v)
             faces_l.append(f + voff)
             vgeom_l.append(np.full(len(v), g, np.int32))
             fgeom_l.append(np.full(len(f), g, np.int32))
-            color = np.asarray(gdef.color[:3], np.float32)
-            fcol_l.append(np.tile(color, (len(f), 1)))
+            fcol_l.append(fc)
             fseg_l.append(np.full(len(f), seg_of_body.get(gdef.body, 0), np.int32))
             voff += len(v)
 

@@ -30,6 +30,14 @@ class TableSceneBuilder(SceneBuilder):
             half_size=half,
             color=(0.57, 0.43, 0.30, 1.0),
         )
+        # wood-grain top: baked-texture grid riding just above the box face
+        # (reference table GLB is UV-textured, scene_builder/table.py:41-60)
+        from ...render.textures import wood
+
+        b.add_textured_visual(
+            wood(64), half[0], half[1],
+            pose=np.array([0, 0, 5e-4, 1, 0, 0, 0]), res=10,
+        )
         # legs are visual-only
         b.set_initial_pose(np.array([-0.12, 0, 0, 1, 0, 0, 0]))
         self.table = b.build_static("table-workspace")

@@ -174,3 +174,34 @@ def test_rt_shader_pack():
     # the two shading models must actually differ (rt adds shadows)
     assert np.abs(raster.astype(int) - rgb.astype(int)).mean() > 2.0
     env2.close()
+
+
+def test_textured_table_top():
+    """Baked-texture rendering (VERDICT r3 #6): the wood-grain table top must
+    produce spatial color variation, not a flat fill, and the texture
+    machinery (grid bake + per-face colors) must round-trip."""
+    from maniskill_tpu.render.textures import (
+        bake_face_colors,
+        checker,
+        textured_quad_grid,
+        wood,
+    )
+
+    img = checker(32, tiles=4, c1=(1, 1, 1), c2=(0, 0, 0))
+    v, f, fc = textured_quad_grid(0.5, 0.5, img, res=8)
+    assert f.shape == (128, 3) and fc.shape == (128, 3)
+    # checker bake must contain both near-white and near-black faces
+    assert fc.max() > 0.9 and fc.min() < 0.1
+
+    env = make(
+        "PushCube-v1", num_envs=1, obs_mode="rgb",
+        sensor_configs=dict(width=128, height=128),
+    )
+    obs, _ = env.reset(seed=0)
+    rgb = np.asarray(obs["sensor_data"]["base_camera"]["rgb"][0], np.float32)
+    # the lower half of the frame is dominated by the table: wood grain means
+    # many distinct colors there (flat fill would give a handful)
+    table_region = rgb[64:, :, :]
+    colors = np.unique(table_region.reshape(-1, 3), axis=0)
+    assert len(colors) > 50, f"table looks flat: {len(colors)} distinct colors"
+    env.close()
