@@ -36,13 +36,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_H = 8  # one (8, 128) vreg tile per plane eval
+TILE_H = 16
 LANES = 128
 REC = 16
-GROUP = 8  # faces are binned in groups of 8 consecutive records: the
-# binning argsort shrinks 8x (faces from one geom are spatially coherent,
-# so group y-spans stay tight) and the kernel amortizes loop overhead by
-# unrolling the 8 member faces per list entry
 MAX_SMEM_FACES = 4096  # per-env face-table cap (4096*16*4B = 256 KB SMEM)
 
 
@@ -62,30 +58,28 @@ def _raster_kernel(n_ref, idx_ref, tab_ref, iz_out, f_out, r_out, g_out, b_out, 
         + 0.5
     )
 
-    def group_body(j, carry):
+    def face_body(j, carry):
         izbuf, sbuf, rbuf, gbuf, bbuf = carry
-        og = REC * GROUP * idx_ref[j]
-        for k in range(GROUP):  # unrolled member faces (invalid -> no-op)
-            o = og + REC * k
-            e01 = tab_ref[o + 0] * px + tab_ref[o + 1] * py + tab_ref[o + 2]
-            e12 = tab_ref[o + 3] * px + tab_ref[o + 4] * py + tab_ref[o + 5]
-            e20 = tab_ref[o + 6] * px + tab_ref[o + 7] * py + tab_ref[o + 8]
-            inv_z = tab_ref[o + 9] * px + tab_ref[o + 10] * py + tab_ref[o + 11]
+        o = REC * idx_ref[j]
+        e01 = tab_ref[o + 0] * px + tab_ref[o + 1] * py + tab_ref[o + 2]
+        e12 = tab_ref[o + 3] * px + tab_ref[o + 4] * py + tab_ref[o + 5]
+        e20 = tab_ref[o + 6] * px + tab_ref[o + 7] * py + tab_ref[o + 8]
+        inv_z = tab_ref[o + 9] * px + tab_ref[o + 10] * py + tab_ref[o + 11]
 
-            inside = (e01 >= 0) & (e12 >= 0) & (e20 >= 0)
-            better = inside & (inv_z > izbuf)  # larger 1/z = closer
-            izbuf = jnp.where(better, inv_z, izbuf)
-            sbuf = jnp.where(better, tab_ref[o + 12].astype(jnp.int32), sbuf)
-            rbuf = jnp.where(better, tab_ref[o + 13], rbuf)
-            gbuf = jnp.where(better, tab_ref[o + 14], gbuf)
-            bbuf = jnp.where(better, tab_ref[o + 15], bbuf)
+        inside = (e01 >= 0) & (e12 >= 0) & (e20 >= 0)
+        better = inside & (inv_z > izbuf)  # larger 1/z = closer
+        izbuf = jnp.where(better, inv_z, izbuf)
+        sbuf = jnp.where(better, tab_ref[o + 12].astype(jnp.int32), sbuf)
+        rbuf = jnp.where(better, tab_ref[o + 13], rbuf)
+        gbuf = jnp.where(better, tab_ref[o + 14], gbuf)
+        bbuf = jnp.where(better, tab_ref[o + 15], bbuf)
         return izbuf, sbuf, rbuf, gbuf, bbuf
 
     izbuf0 = jnp.zeros((TILE_H, width), jnp.float32)
     sbuf0 = jnp.full((TILE_H, width), -1, jnp.int32)
     zero = jnp.zeros((TILE_H, width), jnp.float32)
     izbuf, sbuf, rbuf, gbuf, bbuf = jax.lax.fori_loop(
-        0, n, group_body, (izbuf0, sbuf0, zero, zero, zero)
+        0, n, face_body, (izbuf0, sbuf0, zero, zero, zero)
     )
     iz_out[:] = izbuf
     f_out[:] = sbuf
@@ -110,12 +104,10 @@ def pallas_rasterize_tiles(
     B, F, _ = fx.shape
     assert height % TILE_H == 0, height
     T = height // TILE_H
-    # face-table padding: group-aligned AND 1D SMEM blocks must be multiples
-    # of 128 elements (GROUP * REC = 128, so group alignment suffices)
+    # face-table padding: 1D SMEM blocks must be multiples of 128 elements
     F_pad = max(128, -(-F // 128) * 128)
-    G = F_pad // GROUP  # group count
-    # per-band group-index budget (K * GROUP faces per band); s32 1D SMEM
-    # blocks carry T(1024) tiling, so the block must be 1024 entries (4 KB)
+    # per-band face-index budget: s32 1D SMEM blocks carry T(1024) tiling,
+    # so the block is always 1024 entries (4 KB)
     K = 1024
 
     # --- vertex stage: per-face affine coefficients -------------------------
@@ -165,37 +157,27 @@ def pallas_rasterize_tiles(
     table = jnp.zeros((B, F_pad, REC), jnp.float32).at[:, :F].set(rec)
     table = table.reshape(B, F_pad * REC)
 
-    # --- binning: which face GROUPS overlap each band? ----------------------
+    # --- binning: which faces overlap each band? ----------------------------
     ymin = jnp.min(fy, axis=-1)
     ymax = jnp.max(fy, axis=-1)
     xmin = jnp.min(fx, axis=-1)
     xmax = jnp.max(fx, axis=-1)
     on_screen = valid & (xmax >= 0) & (xmin < width) & (ymax >= 0) & (ymin < height)
-    big = jnp.float32(3e38)
-    pad = ((0, 0), (0, F_pad - F))
-    ymin_g = jnp.min(
-        jnp.pad(jnp.where(on_screen, ymin, big), pad, constant_values=big)
-        .reshape(B, G, GROUP),
-        axis=-1,
-    )  # (B, G)
-    ymax_g = jnp.max(
-        jnp.pad(jnp.where(on_screen, ymax, -big), pad, constant_values=-big)
-        .reshape(B, G, GROUP),
-        axis=-1,
-    )
     bands = jnp.arange(T, dtype=jnp.float32)[None, :, None] * TILE_H  # (1, T, 1)
-    overlap = (ymax_g[:, None, :] >= bands) & (
-        ymin_g[:, None, :] < bands + TILE_H
-    )  # (B, T, G)
+    overlap = (
+        on_screen[:, None, :]
+        & (ymax[:, None, :] >= bands)
+        & (ymin[:, None, :] < bands + TILE_H)
+    )  # (B, T, F)
 
-    # stable compaction of overlapping group ids to the front, truncated at K
-    order = jnp.argsort(~overlap, axis=-1, stable=True)  # (B, T, G)
-    idx = jnp.zeros((B, T, K), jnp.int32).at[..., : min(K, G)].set(
-        order[..., : min(K, G)].astype(jnp.int32)
+    # stable compaction of overlapping face ids to the front, truncated at K
+    order = jnp.argsort(~overlap, axis=-1, stable=True)  # (B, T, F)
+    idx = jnp.zeros((B, T, K), jnp.int32).at[..., : min(K, F)].set(
+        order[..., : min(K, F)].astype(jnp.int32)
     )
     counts_raw = jnp.sum(overlap, axis=-1).astype(jnp.int32)  # (B, T)
     counts = jnp.minimum(counts_raw, K)
-    dropped = jnp.sum(jnp.maximum(counts_raw - K, 0)) * GROUP
+    dropped = jnp.sum(jnp.maximum(counts_raw - K, 0))
 
     # --- kernel --------------------------------------------------------------
     # counts ride scalar prefetch (whole (B*T,) array in SMEM); the per-band
