@@ -204,15 +204,19 @@ class BaseEnv(gym.Env):
             import numpy as _np
 
             mb = _np.asarray(model.mocap_bodies)
-            mocap0 = _np.concatenate(
-                [_np.asarray(model.body_pos)[mb], _np.asarray(model.body_quat)[mb]],
-                axis=-1,
-            ).astype(_np.float32)
+            # stay on device: model.body_pos/quat are jax arrays and pulling
+            # them to host would make env construction synchronize (guarded
+            # by tests/test_device_free_build.py)
+            mocap0 = jnp.concatenate(
+                [model.body_pos[mb], model.body_quat[mb]], axis=-1
+            ).astype(jnp.float32)
         for actor in self.scene.actors.values():
             if actor.is_static or actor.initial_pose is None:
                 continue
             if actor._mocap_idx is not None:
-                mocap0[actor._mocap_idx] = actor.initial_pose
+                mocap0 = mocap0.at[actor._mocap_idx].set(
+                    jnp.asarray(actor.initial_pose, jnp.float32)
+                )
                 continue
             qa = int(model.body_q_adr[actor.body_id])
             qpos0[qa : qa + 7] = actor.initial_pose

@@ -190,7 +190,7 @@ class RotateSingleObjectInHandLevel3(RotateSingleObjectInHand):
 
     def _load_scene(self, options: dict):
         from ....building.cooking import HULL_MAX_VERTS
-        from ....utils.assets import ycb
+        from ....building.actors import ycb
 
         self.ground = build_ground(self.scene)
 

@@ -693,6 +693,7 @@ def collide(model: Model, data: Data, kin=None) -> Contact:
             friction=jnp.zeros((B, 0), jnp.float32),
             restitution=jnp.zeros((B, 0), jnp.float32),
             impulse=jnp.zeros((B, 0, 3), jnp.float32),
+            overflow=jnp.zeros((B,), jnp.int32),
         )
 
     geom1 = np.concatenate(g1_l)
@@ -705,4 +706,5 @@ def collide(model: Model, data: Data, kin=None) -> Contact:
         friction=jnp.concatenate(f_l, axis=1),
         restitution=jnp.concatenate(e_l, axis=1),
         impulse=jnp.zeros((B, len(geom1), 3), jnp.float32),
+        overflow=jnp.zeros((B,), jnp.int32),
     )

@@ -331,14 +331,22 @@ def solve(
         # gradient step runs at the extrapolated point y, which cuts the
         # iteration count ~2x vs plain PGD for the same residual — per
         # iteration it is still ONE batched matvec pair. Momentum schedule
-        # beta_k = k/(k+3) (projection-safe, no adaptive restart needed at
-        # these iteration counts).
-        lam_prev, y = carry
+        # beta_k = k/(k+3), with a per-env gradient restart
+        # (O'Donoghue & Candes): if the 4-step power iteration underestimates
+        # rho, Nesterov momentum can diverge where plain PGD would not —
+        # resetting the momentum counter whenever the update direction
+        # opposes progress restores monotone-ish convergence at the cost of
+        # one extra dot product per iteration.
+        lam_prev, y, k = carry
         r = matvec(y) + v0 - target
         lam = project(y - omega * inv_diag * r)
-        beta = i.astype(jnp.float32) / (i.astype(jnp.float32) + 3.0)
+        restart = (
+            jnp.sum((y - lam) * (lam - lam_prev), axis=-1, keepdims=True) > 0.0
+        )
+        k = jnp.where(restart, 0.0, k + 1.0)  # (B, 1)
+        beta = k / (k + 3.0)
         y = lam + beta * (lam - lam_prev)
-        return lam, y
+        return lam, y, k
 
     # warm start: contacts keep their candidate-list identity across steps
     # (compaction gathers the previous impulses at the same candidate ids),
@@ -354,7 +362,10 @@ def solve(
         lam0 = project(lam0) * arow
     else:
         lam0 = jnp.zeros((B, R), jnp.float32)
-    lam, _ = jax.lax.fori_loop(0, model.solver_iterations, body, (lam0, lam0))
+    k0 = jnp.zeros((B, 1), jnp.float32)
+    lam, _, _ = jax.lax.fori_loop(
+        0, model.solver_iterations, body, (lam0, lam0, k0)
+    )
     lam = lam * arow  # deactivated rows report zero impulse
 
     qvel_new = qvel_pred + jnp.einsum("bvr,br->bv", W, lam)
@@ -366,7 +377,15 @@ def solve(
         if compact:
             # scatter-as-matmul (transpose of the gather above)
             full = jnp.einsum("bkc,bki->bci", oh, impulse)
-            contact = contact.replace(impulse=full)
+            # truncation counter: live candidates NOT among the K gathered.
+            # Observable via data.contact.overflow — nonzero means top-K
+            # compaction silently dropped real contacts this step.
+            n_live = jnp.sum(contact.depth > 0.0, axis=1)
+            overflow = jnp.maximum(n_live - K, 0).astype(jnp.int32)
+            contact = contact.replace(impulse=full, overflow=overflow)
         else:
-            contact = contact.replace(impulse=impulse)
+            contact = contact.replace(
+                impulse=impulse,
+                overflow=jnp.zeros((B,), jnp.int32),
+            )
     return qvel_new, contact

@@ -284,6 +284,10 @@ class Contact:
     friction: jax.Array = None  # (B, C)
     restitution: jax.Array = None  # (B, C)
     impulse: jax.Array = None  # (B, C, 3) world-frame impulse applied to body of geom1
+    # (B,) number of live (depth>0) candidates dropped by top-K compaction
+    # this step — nonzero means the solver silently ignored real contacts
+    # and ``max_active_contacts`` should be raised for this scene.
+    overflow: jax.Array = None
 
 
 @struct.dataclass

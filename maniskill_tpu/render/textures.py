@@ -64,7 +64,9 @@ def sample_bilinear(image: np.ndarray, uv: np.ndarray) -> np.ndarray:
     """Bilinear sample image (H, W, 3) at uv (..., 2) in [0,1] (wrapping)."""
     H, W = image.shape[:2]
     u = np.mod(uv[..., 0], 1.0) * (W - 1)
-    v = np.mod(1.0 - np.mod(uv[..., 1], 1.0), 1.0) * (H - 1)  # v up -> row down
+    # v up -> row down: v=0 samples the BOTTOM row (H-1), v=1 the top (OBJ/GL
+    # convention). No outer mod — that would alias both v=0 and v=1 to row 0.
+    v = (1.0 - np.mod(uv[..., 1], 1.0)) * (H - 1)
     x0 = np.floor(u).astype(np.int64)
     y0 = np.floor(v).astype(np.int64)
     x1 = np.minimum(x0 + 1, W - 1)
