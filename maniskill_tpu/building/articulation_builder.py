@@ -12,7 +12,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..physics.types import BOX, CAPSULE, CYLINDER, DYNAMIC, FIXED, FREE, HINGE, SLIDE, SPHERE
+from ..physics.types import BOX, CAPSULE, CYLINDER, DYNAMIC, FIXED, FREE, HINGE, HULL, SLIDE, SPHERE
 from ..structs.articulation import Articulation, ArticulationJoint
 from ..structs.link import Link
 from .inertia import combine_shapes, diagonalize_inertia
@@ -109,11 +109,25 @@ class ArticulationBuilder:
                         spec.iquat, np.float64
                     )
             else:
-                shapes = [
-                    (c.type, np.asarray(c.size, float), np.asarray(c.pos, float),
-                     np.asarray(c.quat, float), c.density)
-                    for c in spec.collisions
-                ]
+                shapes = []
+                for c in spec.collisions:
+                    if c.type == HULL and c.hull is not None:
+                        # hull proxies use their AABB box equivalent for
+                        # inertia (same convention as actor_builder)
+                        v = np.asarray(c.hull, float)
+                        half = 0.5 * (v.max(axis=0) - v.min(axis=0))
+                        ctr = 0.5 * (v.max(axis=0) + v.min(axis=0))
+                        shapes.append(
+                            (BOX, np.maximum(half, 1e-4),
+                             np.asarray(c.pos, float) + ctr,
+                             np.asarray(c.quat, float), c.density)
+                        )
+                    else:
+                        shapes.append(
+                            (c.type, np.asarray(c.size, float),
+                             np.asarray(c.pos, float),
+                             np.asarray(c.quat, float), c.density)
+                        )
                 if shapes:
                     mass, com, inertia, iquat = combine_shapes(shapes)
                 else:
@@ -156,6 +170,7 @@ class ArticulationBuilder:
                     body, v.type, np.asarray(v.size, float), pos=v.pos, quat=v.quat,
                     collision=False, contype=0, conaffinity=0, color=v.color,
                     name=f"{prefix}{spec.name}_vis_{len(mb.geoms)}", mesh=v.mesh,
+                    hull=v.hull, hull_dirs=v.hull_dirs,
                 )
 
             link = Link(self.scene, spec.name, body, articulation=art, index=len(art.links))

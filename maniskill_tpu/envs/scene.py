@@ -249,6 +249,14 @@ class ManiSkillScene:
         ]
         hids = np.asarray(m.geom_hull)[gids]
         hulls_np = np.asarray(hulls, np.float32)  # pass host arrays here
+        if len(hids) != hulls_np.shape[1] and len(hids) % hulls_np.shape[1] == 0:
+            # the actor exposes its hulls twice (collision geoms + HULL
+            # visual geoms added from the same specs, in order): tile so
+            # visuals track the per-env physics geometry
+            reps = len(hids) // hulls_np.shape[1]
+            hulls_np = np.tile(hulls_np, (1, reps, 1, 1))
+            if dirs is not None:
+                dirs = np.tile(np.asarray(dirs, np.float32), (1, reps, 1, 1))
         hulls = jnp.asarray(hulls_np)
         assert hulls.shape[1] == len(hids), (hulls.shape, len(hids))
         hvh = self.host_hull_verts

@@ -78,103 +78,72 @@ class OpenCabinetBase(BaseEnv):
             self.cabinet, self.cab_meta = build_cabinet_template(self.scene)
 
     def _load_partnet_cabinet(self, options: dict):
-        """Cook a real PartNet-Mobility URDF: URDF -> multi-hull convex
-        decomposition -> articulation tables. All envs share the model's
-        topology (static shapes); per-env randomization happens in target
-        selection and initial state."""
+        """Per-env heterogeneous REAL cabinets: every env samples its own
+        PartNet-Mobility model; the union-template articulation
+        (building/articulations/partnet_union.py) realizes each model's
+        hulls/joints through per-env parameter tables (reference
+        open_cabinet_drawer.py:134-176 samples a model per sub-scene)."""
         from ....building.articulations.partnet_mobility import (
             available_model_ids,
-            get_partnet_mobility_builder,
-            load_partnet_mobility_dataset,
+        )
+        from ....building.articulations.partnet_union import (
+            build_partnet_union,
+            load_partnet_model_spec,
         )
 
         ids = available_model_ids()
-        rng = self._main_rng or np.random.RandomState(2024)
-        mid = ids[rng.randint(len(ids))]
-        builder, meta = get_partnet_mobility_builder(self.scene, mid)
-        # place the cabinet with its bottom on the ground, front face +x
-        bbox = meta.get("bbox")
-        scale = float(meta.get("scale", 1.0))
-        z0 = -bbox["min"][2] * scale if bbox else 0.4
-        builder.set_initial_pose(np.array([0.1, 0.0, z0, 1, 0, 0, 0]))
-        builder.disable_self_collisions = True
-        self.cabinet = builder.build("cabinet")
-        self._pn_model_id = mid
-
-        # slots = movable joints; handle point = front-face center of the
-        # link's collision AABB (host-side, from the builder specs)
-        slots, handle_local, limits, kinds = [], [], [], []
-        spec_of = {s.name: s for s in builder.links}
-        from ....physics.types import HINGE, SLIDE
-
-        for j in self.cabinet.active_joints:
-            if j.jnt_type not in (HINGE, SLIDE):
-                continue
-            link = j.child_link
-            spec = spec_of[link.name.split(":")[-1]]
-            lo = np.full(3, np.inf)
-            hi = np.full(3, -np.inf)
-            for c in spec.collisions:
-                if c.hull is not None:
-                    v = np.asarray(c.hull) + np.asarray(c.pos)
-                else:
-                    half = np.asarray(c.size, float)
-                    v = np.asarray(c.pos) + np.stack([half, -half])
-                lo = np.minimum(lo, v.min(axis=0))
-                hi = np.maximum(hi, v.max(axis=0))
-            handle_local.append(
-                [hi[0], 0.5 * (lo[1] + hi[1]), 0.5 * (lo[2] + hi[2])]
-            )
-            slots.append((link, j))
-            lim = spec.limit
-            lim = (
-                (0.0, 1.0)
-                if lim is None or not np.isfinite(lim).all()
-                else (float(lim[0]), float(lim[1]))
-            )
-            limits.append(lim)
-            kinds.append("drawer" if j.jnt_type == SLIDE else "door")
-        self._pn_slots = slots
-        self._pn_handle_local = np.asarray(handle_local, np.float32)
-        self._pn_limits = np.asarray(limits, np.float32)
-        self._pn_kinds = kinds
-
-        class _Meta:
-            pass
-
-        m = _Meta()
-        m.slot_links = [l for l, _ in slots]
-        m.slot_joints = [j for _, j in slots]
-        _Meta.slot_bodies = property(
-            lambda s: np.array([l.body_id for l in s.slot_links], np.int32)
+        specs = {m: load_partnet_model_spec(self.scene, m) for m in ids}
+        # models usable for this task: at least one slot of the target kind
+        ok = [
+            m for m in ids
+            if any(sl.kind == self.target_kind for sl in specs[m].slots)
+        ]
+        self._pn_ids = ok or ids
+        self._pn_specs = {m: specs[m] for m in self._pn_specs_needed(specs)}
+        self.cabinet, self.cab_meta, (kb, ks) = build_partnet_union(
+            self.scene, [specs[m] for m in self._pn_ids], "cabinet"
         )
-        _Meta.slot_dofs = property(
-            lambda s: np.array([j.dof_adr for j in s.slot_joints], np.int32)
-        )
-        _Meta.slot_qadrs = property(
-            lambda s: np.array([j.q_adr for j in s.slot_joints], np.int32)
-        )
-        self.cab_meta = m
+        self._pn_kb_ks = (kb, ks)
+        self._pn_kinds = list(self.cab_meta.kinds)
+
+    def _pn_specs_needed(self, specs):
+        return list(specs)
 
     def _after_reconfigure_partnet(self, options: dict):
+        from ....building.articulations.partnet_union import (
+            UNION_SLOTS,
+            apply_partnet_models,
+        )
+
         B = self.num_envs
-        S = len(self._pn_slots)
         rng = np.random.RandomState(
             int(np.asarray(self._episode_seeds[0])) & 0x7FFFFFFF
         )
-        cands = [i for i, k in enumerate(self._pn_kinds) if k == self.target_kind]
-        if not cands:  # model lacks the target joint kind: fall back to any
-            cands = list(range(S))
-        targets = np.asarray(cands)[rng.randint(0, len(cands), B)]
+        assign = [self._pn_ids[i] for i in rng.randint(0, len(self._pn_ids), B)]
+        kb, ks = self._pn_kb_ks
+        inst = apply_partnet_models(
+            self.scene, self.cab_meta, self._pn_specs, assign, kb, ks
+        )
+        self._pn_assign = inst
+        self._pn_model_ids = assign
+
+        # per-env target slot among active slots of the right kind
+        S = UNION_SLOTS
+        targets = np.zeros(B, np.int64)
+        for i in range(B):
+            cands = [
+                s for s in range(S)
+                if inst.active[i, s] and self._pn_kinds[s] == self.target_kind
+            ] or [s for s in range(S) if inst.active[i, s]]
+            targets[i] = cands[rng.randint(len(cands))]
         self.target_slot = jnp.asarray(targets)
         self.target_onehot = jnp.asarray(np.eye(S, dtype=np.float32)[targets])
-        self.handle_local = jnp.broadcast_to(
-            jnp.asarray(self._pn_handle_local), (B, S, 3)
+        self.handle_local = jnp.asarray(inst.handle_local)
+        # ranges for open-fraction math; signed dof limits already scattered
+        self.slot_limits = jnp.asarray(
+            np.stack([np.zeros_like(inst.ranges), inst.ranges], axis=-1)
         )
-        self.slot_limits = jnp.broadcast_to(
-            jnp.asarray(self._pn_limits), (B, S, 2)
-        )
-        self.active_mask = jnp.ones((B, S), jnp.float32)
+        self.active_mask = jnp.asarray(inst.active.astype(np.float32))
         self._num_slots = S
 
     def _after_reconfigure(self, options: dict):

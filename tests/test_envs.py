@@ -130,3 +130,13 @@ def test_humanoid_stand_basics():
     assert np.all(np.asarray(rew) > 0.9)  # standing reward ~1 at rest
     assert bool(np.all(np.isfinite(np.asarray(obs))))
     env.close()
+
+
+def test_rotate_in_hand_level3_smoke():
+    """Level 3 uses per-env random YCB hulls (the import regression caught in
+    round 4 made the env unconstructable); construct + step must work."""
+    env = make("RotateSingleObjectInHandLevel3-v1", num_envs=2, obs_mode="state")
+    obs, rew, term, trunc, info = _rollout(env, 2, zero=True)
+    assert rew.shape == (2,)
+    assert bool(jnp.all(jnp.isfinite(obs)))
+    env.close()
