@@ -116,6 +116,15 @@ class DictController(BaseController):
         self.controllers: Dict[str, BaseController] = {}
         for uid, cfg in configs.items():
             self.controllers[uid] = cfg.controller_cls(cfg, articulation, scene)
+        # aggregate the apply-gating flags over sub-controllers (the
+        # reference ORs these the same way so BaseEnv only stages the drive
+        # buffers a controller actually writes, sapien_env.py:1111-1121)
+        self.sets_target_qpos = any(
+            c.sets_target_qpos for c in self.controllers.values()
+        )
+        self.sets_target_qvel = any(
+            c.sets_target_qvel for c in self.controllers.values()
+        )
         self._initialize_action_space()
 
     def _initialize_action_space(self):
