@@ -1,9 +1,14 @@
-"""Terminal keyboard teleoperation (counterpart of
+"""Interactive teleoperation (counterpart of
 mani_skill/examples/teleoperation/interactive_panda.py, which uses the
 sapien viewer + drag gizmos).
 
-Headless-friendly: raw-tty WASD/arrow keys drive pd_ee_delta_pos actions;
-each step prints TCP pose + task status, and frames can be dumped as PNGs.
+Two headless-friendly front ends:
+- terminal (default): raw-tty WASD keys drive pd_ee_delta_pos actions and
+  each step prints TCP pose + task status; frames can be dumped as PNGs.
+- ``--browser PORT``: serves the human render camera as a live MJPEG
+  stream; keyboard + click-drag + wheel in the browser drive the EE
+  (viewer/server.py — the sapien.utils.Viewer analog). Pass
+  ``--record-dir`` to save the teleoperated episode as a demo trajectory.
 
 Keys: w/s = +-x, a/d = +-y, r/f = +-z, g = toggle gripper,
       x = reset, q = quit.
@@ -11,12 +16,15 @@ Keys: w/s = +-x, a/d = +-y, r/f = +-z, g = toggle gripper,
 Usage:
     python -m maniskill_tpu.examples.teleoperation.interactive_panda \
         --env-id PickCube-v1 [--save-frames /tmp/frames]
+    python -m maniskill_tpu.examples.teleoperation.interactive_panda \
+        --env-id PickCube-v1 --browser 8400 [--record-dir demos/teleop]
 """
 from __future__ import annotations
 
 import argparse
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -33,7 +41,91 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--speed", type=float, default=1.0, help="delta scale (x0.1 m)")
     p.add_argument("--save-frames", default=None)
+    p.add_argument("--browser", type=int, default=None, metavar="PORT",
+                   help="serve a browser viewer on this port instead of tty")
+    p.add_argument("--record-dir", default=None,
+                   help="save teleoperated episodes as demo trajectories "
+                        "(browser mode)")
+    p.add_argument("--max-steps", type=int, default=0,
+                   help="browser mode: stop after N steps (0 = run forever)")
     return p.parse_args(argv)
+
+
+def browser_main(args):
+    """Browser-viewer loop: stream frames out, drain input events, step."""
+    import numpy as np
+
+    import maniskill_tpu.envs  # noqa: F401
+    from maniskill_tpu.utils.registration import make
+    from maniskill_tpu.viewer import BrowserViewer
+
+    env = make(
+        args.env_id, num_envs=1, obs_mode="state",
+        control_mode="pd_ee_target_delta_pos", render_mode="rgb_array",
+    )
+    if args.record_dir:
+        from maniskill_tpu.wrappers.record import RecordEpisode
+
+        env = RecordEpisode(env, args.record_dir, save_trajectory=True,
+                            save_video=False)
+    base = env.unwrapped
+    env.reset(seed=args.seed)
+    viewer = BrowserViewer(port=args.browser)
+    print(f"viewer: http://localhost:{viewer.port}  (q in browser quits)")
+
+    gripper, t, running = 1.0, 0, True
+    viewer.push_frame(np.asarray(env.render()[0]))
+    while running:
+        delta = np.zeros(3, np.float32)
+        moved = False
+        for ev in viewer.poll_events():
+            if ev.get("type") == "key":
+                k = ev.get("key", "")
+                if k == "q":
+                    running = False
+                elif k == "x":
+                    env.reset(seed=args.seed)
+                    t = 0
+                    moved = True
+                elif k == "g":
+                    gripper = -gripper
+                    moved = True
+                else:
+                    delta += np.array(
+                        _KEY_DELTAS.get(k, (0, 0, 0)), np.float32
+                    )
+                    moved = moved or k in _KEY_DELTAS
+            elif ev.get("type") == "drag":
+                # camera-plane drag: browser x ~ world -y, browser y ~ world -x
+                delta += np.array(
+                    [-ev.get("dy", 0.0) * 2.0, -ev.get("dx", 0.0) * 2.0, 0.0],
+                    np.float32,
+                )
+                moved = True
+            elif ev.get("type") == "wheel":
+                delta += np.array([0, 0, -0.3 * ev.get("dz", 0)], np.float32)
+                moved = True
+        if not moved:
+            time.sleep(0.02)
+            continue
+        action = np.concatenate(
+            [np.clip(delta, -1, 1) * args.speed, [gripper]]
+        ).astype(np.float32)
+        obs, rew, term, trunc, info = env.step(action)
+        t += 1
+        viewer.push_frame(np.asarray(env.render()[0]))
+        tcp = np.asarray(base.agent.tcp.pose.p[0])
+        viewer.set_status(dict(
+            step=t,
+            tcp=[round(float(v), 3) for v in tcp],
+            gripper="open" if gripper > 0 else "closed",
+            reward=round(float(np.asarray(rew)[0]), 3),
+            success=bool(np.asarray(info.get("success", term))[0]),
+        ))
+        if args.max_steps and t >= args.max_steps:
+            running = False
+    env.close()
+    viewer.close()
 
 
 def _read_key() -> str:
@@ -51,6 +143,8 @@ def _read_key() -> str:
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.browser is not None:
+        return browser_main(args)
 
     import jax.numpy as jnp
 
