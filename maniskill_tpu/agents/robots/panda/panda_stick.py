@@ -31,14 +31,23 @@ class PandaStick(Panda):
         b = ArticulationBuilder(self.scene)
         links = self._arm_link_specs()
         # replace the gripper with a slim stick below the hand; the tcp frame
-        # (panda_hand_tcp at +0.1034) becomes the stick tip
+        # (panda_hand_tcp at +0.1034) IS the stick tip: the capsule's lower
+        # sphere center sits at tcp_z - radius so the collision surface ends
+        # exactly at the TCP, matching the reference panda_stick.urdf where
+        # the cylinder tip coincides with panda_hand_tcp
+        # (mani_skill/assets/robots/panda/panda_stick.urdf:224-245). A tip
+        # that overshoots the TCP makes the drawing tasks' touch test
+        # (tcp_z < canvas+dot+5mm) unreachable under contact.
+        tip_z = 0.1034
+        r, hl = 0.008, 0.025
+        stick_pos = (0, 0, tip_z - hl - r)
         for spec in links:
             if spec.name == "panda_hand":
                 spec.collisions = list(spec.collisions) + [
-                    ShapeSpec(CAPSULE, [0.008, 0.025, 0], (0, 0, 0.08), (1, 0, 0, 0))
+                    ShapeSpec(CAPSULE, [r, hl, 0], stick_pos, (1, 0, 0, 0))
                 ]
                 spec.visuals = list(spec.visuals) + [
-                    ShapeSpec(CAPSULE, [0.008, 0.025, 0], (0, 0, 0.08), (1, 0, 0, 0))
+                    ShapeSpec(CAPSULE, [r, hl, 0], stick_pos, (1, 0, 0, 0))
                 ]
         for l in links:
             b.add_link(l)

@@ -8,6 +8,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from ...structs.pose import Pose
 from .panda_solver import PandaMotionPlanningSolver
 
 # EE orientation pointing straight down (panda hand z-axis toward table)
@@ -385,36 +386,65 @@ def solve_plug_charger(env, debug: bool = False):
     grasp_q = _yawed_down_q(yaw)
     B = ch0.p.shape[0]
     bz = base._base_size[2]
-    grasp = ch0.p.at[:, 2].set(bz)
+    # grasp the BASE center, not the charger origin: the origin sits on the
+    # base/peg boundary, so fingers closing there land an edge grasp that
+    # wobbles during alignment (0.07-0.17 rad residual vs the ~0.03 rad the
+    # 0.5 mm slot clearance allows). The base center gives full-pad contact
+    # (reference plug_charger.py:50-63 grasps the base OBB center).
+    base_ctr = Pose.create(ch0.raw_pose).transform_point(
+        jnp.broadcast_to(
+            jnp.asarray([-base._base_size[0], 0.0, 0.0], jnp.float32), (B, 3)
+        )
+    )
+    grasp = base_ctr.at[:, 2].set(bz)
+    # transit ABOVE the floating receptacle (z in [0.05, 0.15]): a direct
+    # joint-space sweep at hover height snags the hand on the receptacle box
+    # for charger spawns near its y-extent (measured: env0 TCP parked at
+    # z=0.104 against the receptacle instead of reaching the grasp)
+    high = grasp.at[:, 2].set(0.20)
+    mp.move_to_pose(_pose(high, grasp_q), refine_steps=2)
     hover = grasp.at[:, 2].set(0.08)
     mp.move_to_pose(_pose(hover, grasp_q), refine_steps=3)
     mp.move_to_pose(_pose(grasp, grasp_q), refine_steps=5)
     mp.close_gripper(steps=8)
 
     def _off(dx):
+        dx = jnp.broadcast_to(jnp.asarray(dx, jnp.float32), (B,))
         return Pose.create_from_pq(
-            p=jnp.stack([jnp.full(B, dx), jnp.zeros(B), jnp.zeros(B)], axis=-1)
+            p=jnp.stack([dx, jnp.zeros(B), jnp.zeros(B)], axis=-1)
         )
+
+    def _align(dx, steps, refine):
+        tgt = goal * _off(dx) * base.charger.pose.inv() * base.agent.tcp.pose
+        return mp.move_to_pose(tgt.raw_pose, steps=steps, refine_steps=refine)
 
     goal = base.goal_pose
     pre = goal * _off(-0.05) * base.charger.pose.inv() * base.agent.tcp.pose
-    mp.move_to_pose(pre.raw_pose, steps=80, refine_steps=4, arc_steps=6)
-    for _ in range(2):
-        pre = goal * _off(-0.05) * base.charger.pose.inv() * base.agent.tcp.pose
-        mp.move_to_pose(pre.raw_pose, steps=25, refine_steps=5)
-    ins = goal * base.charger.pose.inv() * base.agent.tcp.pose
-    result = mp.move_to_pose(ins.raw_pose, steps=40, refine_steps=8)
+    mp.move_to_pose(pre.raw_pose, steps=60, refine_steps=4, arc_steps=6)
+    _align(-0.05, steps=20, refine=4)
+    # staged insertion with interleaved re-measurement: each stage corrects
+    # the residual the previous contact-free motion left, so the pegs meet
+    # the slots inside the clearance cone instead of jamming on the face
+    mp.joint_vel_limit = 0.2
+    _align(-0.02, steps=20, refine=4)
+    _align(-0.008, steps=15, refine=4)
+    result = _align(0.003, steps=30, refine=10)
     return result
 
 
-def _trace_polyline(mp, env, pts_xy, draw_z, steps_per_seg=20):
-    """Drive the stick tip along a closed 2D polyline on the canvas."""
+def _trace_polyline(mp, env, pts_xy, draw_z, steps_per_seg=20, hover=True):
+    """Drive the stick tip along a closed 2D polyline on the canvas.
+
+    hover=False keeps the tip down when the caller has already descended onto
+    the trace start — the hover move otherwise lifts the tip and skips the
+    reference points between the start and the first waypoint."""
     base = env.unwrapped
     B = pts_xy.shape[0]
-    start = jnp.concatenate(
-        [pts_xy[:, 0], jnp.full((B, 1), draw_z + 0.05)], axis=-1
-    )
-    mp.move_to_pose(_pose(start), refine_steps=3)
+    if hover:
+        start = jnp.concatenate(
+            [pts_xy[:, 0], jnp.full((B, 1), draw_z + 0.05)], axis=-1
+        )
+        mp.move_to_pose(_pose(start), refine_steps=3)
     result = None
     n_seg = pts_xy.shape[1]
     for s in range(n_seg):
@@ -452,7 +482,9 @@ def solve_draw_triangle(env, debug: bool = False):
         _pose(jnp.concatenate([verts[:, 0], jnp.full((B, 1), draw_z)], -1)),
         refine_steps=2,
     )
-    return _trace_polyline(mp, env, pts, draw_z, steps_per_seg=6)
+    # already touching at v0: trace without the hover so the tip drags over
+    # the early edge-0 reference points instead of flying above them
+    return _trace_polyline(mp, env, pts, draw_z, steps_per_seg=6, hover=False)
 
 
 def solve_draw_svg(env, debug: bool = False):
@@ -475,6 +507,67 @@ def solve_draw_svg(env, debug: bool = False):
     return _trace_polyline(mp, env, pts, draw_z, steps_per_seg=4)
 
 
+def solve_pick_single_ycb(env, debug: bool = False):
+    """PickSingleYCB: per-env geometry-aware grasp of a heterogeneous YCB
+    object, then carry to the goal site and hold still (success needs
+    is_obj_placed & is_robot_static; the reference has no scripted solution
+    for this task — flow mirrors pick_cube with hull-derived grasp params).
+    """
+    base = env.unwrapped
+    mp = PandaMotionPlanningSolver(env)
+    mp.open_gripper(steps=3)
+
+    # per-env grasp geometry from the cooked hulls (object frame):
+    # close the fingers across the MINOR horizontal axis, at a height low
+    # enough to stay under the 4 cm finger span but above the table
+    hulls = np.asarray(base._pending_hulls)  # (B, K, V, 3)
+    B = hulls.shape[0]
+    pts_l = hulls.reshape(B, -1, 3)
+
+    obj_pose = base.obj.pose
+    # transform_point maps (B, 3) -> (B, 3); tile the pose over the vertex
+    # axis to transform the whole (B, N, 3) hull cloud at once
+    N = pts_l.shape[1]
+    rp = jnp.repeat(jnp.asarray(obj_pose.raw_pose, jnp.float32), N, axis=0)
+    pts_w = Pose.create(rp).transform_point(
+        jnp.asarray(pts_l, jnp.float32).reshape(B * N, 3)
+    )
+    pts_w = np.asarray(pts_w).reshape(B, N, 3)
+    ztop = pts_w[..., 2].max(axis=1)  # world top of the object
+
+    # horizontal PCA -> long axis; hand x goes along it so the closing axis
+    # (hand y) crosses the narrow extent
+    xy = pts_w[..., :2] - pts_w[..., :2].mean(axis=1, keepdims=True)
+    cov = np.einsum("bni,bnj->bij", xy, xy) / xy.shape[1]
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    long_axis = evecs[..., -1]  # (B, 2)
+    yaw = jnp.asarray(np.arctan2(long_axis[:, 1], long_axis[:, 0]), jnp.float32)
+    grasp_q = _yawed_down_q(yaw)
+
+    ctr = jnp.asarray(pts_w.mean(axis=1), jnp.float32)
+    gz = jnp.asarray(np.clip(0.55 * ztop, 0.015, 0.055), jnp.float32)
+    grasp = ctr.at[:, 2].set(gz)
+
+    hover = grasp.at[:, 2].set(jnp.asarray(ztop, jnp.float32) + 0.08)
+    mp.move_to_pose(_pose(hover, grasp_q), refine_steps=3)
+    mp.move_to_pose(_pose(grasp, grasp_q), refine_steps=5)
+    mp.close_gripper(steps=10)
+    # lift straight up before translating (clears the table for tall goals)
+    mp.move_to_pose(_pose(grasp.at[:, 2].add(0.10), grasp_q), refine_steps=2)
+
+    # carry by the measured grasp offset so the OBJECT center lands on the
+    # goal site (stack_cube-style offset compensation)
+    goal_p = base.goal_site.pose.p
+    obj_now = base.obj.pose.p
+    tcp_now = base.agent.tcp.pose.p
+    place = tcp_now + (goal_p - obj_now)
+    mp.move_to_pose(_pose(place, grasp_q), refine_steps=6)
+    # re-measure once: heavy/offset objects sag in the grip during transit
+    place = base.agent.tcp.pose.p + (goal_p - base.obj.pose.p)
+    result = mp.move_to_pose(_pose(place, grasp_q), steps=20, refine_steps=8)
+    return result
+
+
 SOLUTIONS = {
     "PushCube-v1": solve_push_cube,
     "PickCube-v1": solve_pick_cube,
@@ -488,4 +581,5 @@ SOLUTIONS = {
     "PlugCharger-v1": solve_plug_charger,
     "DrawTriangle-v1": solve_draw_triangle,
     "DrawSVG-v1": solve_draw_svg,
+    "PickSingleYCB-v1": solve_pick_single_ycb,
 }
