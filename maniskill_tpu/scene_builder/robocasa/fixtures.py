@@ -311,6 +311,147 @@ def build_hood(scene, name, pos, yaw=0.0, z=1.55):
     return b.build_static(name)
 
 
+def _bar_handle(hw_door, side, t=0.015):
+    """Vertical bar handle on a door panel front (fixtures/handles.py
+    BarHandle analog): post + bar standing off the panel."""
+    x = 0.035
+    return [
+        _box((x / 2, 0.008, 0.008), (x / 2, -side * (hw_door - 0.05), 0.10),
+             DARK),
+        _box((x / 2, 0.008, 0.008), (x / 2, -side * (hw_door - 0.05), -0.10),
+             DARK),
+        _box((0.008, 0.008, 0.13), (x, -side * (hw_door - 0.05), 0), DARK),
+    ]
+
+
+def build_upper_cabinet(scene, name, pos, yaw=0.0, width=0.8, height=0.6,
+                        depth=0.35, z=1.45, color=PANEL):
+    """Wall-mounted double-door cabinet with bar handles
+    (fixtures/cabinet.py HingeCabinet analog)."""
+    hw, hh, hd = width / 2, height / 2, depth / 2
+    t = 0.018
+    b = ArticulationBuilder(scene)
+    b.disable_self_collisions = True
+    shell = [
+        _box((hd, hw, t), (0, 0, hh - t), color),
+        _box((hd, hw, t), (0, 0, -hh + t), color),
+        _box((hd, t, hh), (0, -hw + t, 0), color),
+        _box((hd, t, hh), (0, hw - t, 0), color),
+        _box((t, hw, hh), (-hd + t, 0, 0), color),
+        _box((hd, hw, t), (0, 0, 0), color),  # mid shelf
+    ]
+    b.add_link(LinkSpec("body", None, collisions=shell, visuals=shell))
+    hwd = hw / 2  # each door covers half the opening
+    for side, tag in ((-1.0, "left"), (1.0, "right")):
+        panel = [_box((t, hwd - t, hh - t), (0, -side * hwd, 0), color)]
+        panel += _bar_handle(2 * hwd, side)
+        b.add_link(
+            LinkSpec(f"door_{tag}", "body", HINGE,
+                     f"{name}_door_{tag}_joint",
+                     origin_pos=(hd, side * hw, 0), axis=(0, 0, side),
+                     limit=(0.0, 2.3), damping=2.0, frictionloss=0.5,
+                     collisions=panel, visuals=panel)
+        )
+    b.set_initial_pose(_pose(pos, yaw, z + hh))
+    b.fix_root_link = True
+    return b.build(name)
+
+
+def build_open_shelf(scene, name, pos, yaw=0.0, width=0.8, height=0.7,
+                     depth=0.3, z=1.4, n_shelves=3, color=WOOD):
+    """Open wall shelves (fixtures/others.py OpenShelf analog)."""
+    b = scene.create_actor_builder()
+    hw, hd = width / 2, depth / 2
+    t = 0.02
+    for k in range(n_shelves):
+        zc = k * (height / max(1, n_shelves - 1)) if n_shelves > 1 else 0.0
+        b.add_box_collision([0, 0, zc], half_size=[hd, hw, t], friction=0.7)
+        b.add_box_visual([0, 0, zc], half_size=[hd, hw, t], color=color)
+    # side supports
+    for sy in (-hw + t, hw - t):
+        b.add_box_collision([0, sy, height / 2],
+                            half_size=[hd, t, height / 2 + t], friction=0.7)
+        b.add_box_visual([0, sy, height / 2],
+                         half_size=[hd, t, height / 2 + t], color=color)
+    b.set_initial_pose(_pose(pos, yaw, z))
+    return b.build_static(name)
+
+
+def build_island(scene, name, pos, yaw=0.0, width=1.2, depth=0.8,
+                 color=WOOD):
+    """Freestanding kitchen island: oversized counter with overhang
+    (fixtures/counter.py island config)."""
+    b = scene.create_actor_builder()
+    hw, hd = width / 2, depth / 2
+    body_h = (COUNTER_H - TOP_T) / 2
+    b.add_box_collision([0, 0, body_h], half_size=[hd - 0.08, hw - 0.08,
+                                                   body_h], friction=0.6)
+    b.add_box_visual([0, 0, body_h], half_size=[hd - 0.08, hw - 0.08, body_h],
+                     color=color)
+    top_z = COUNTER_H - TOP_T / 2
+    b.add_box_collision([0, 0, top_z], half_size=[hd, hw, TOP_T / 2],
+                        friction=0.8)
+    b.add_box_visual([0, 0, top_z], half_size=[hd, hw, TOP_T / 2], color=TOP)
+    b.set_initial_pose(_pose(pos, yaw, 0.0))
+    return b.build_static(name)
+
+
+def build_toaster(scene, name, pos, yaw=0.0, z=COUNTER_H):
+    """Countertop toaster (fixtures/accessories.py Toaster analog)."""
+    b = scene.create_actor_builder()
+    b.add_box_collision([0, 0, 0.09], half_size=[0.09, 0.14, 0.09],
+                        friction=0.6, density=300)
+    b.add_box_visual([0, 0, 0.09], half_size=[0.09, 0.14, 0.09], color=STEEL)
+    for sy in (-0.05, 0.05):
+        b.add_box_visual([0, sy, 0.18], half_size=[0.06, 0.012, 0.004],
+                         color=DARK)
+    b.set_initial_pose(_pose(pos, yaw, z))
+    return b.build_static(name)
+
+
+def build_coffee_machine(scene, name, pos, yaw=0.0, z=COUNTER_H):
+    """Countertop coffee machine (fixtures/accessories.py CoffeeMachine)."""
+    b = scene.create_actor_builder()
+    b.add_box_collision([-0.05, 0, 0.17], half_size=[0.05, 0.10, 0.17],
+                        friction=0.6)
+    b.add_box_visual([-0.05, 0, 0.17], half_size=[0.05, 0.10, 0.17],
+                     color=DARK)
+    b.add_box_collision([0.04, 0, 0.30], half_size=[0.06, 0.08, 0.04],
+                        friction=0.6)
+    b.add_box_visual([0.04, 0, 0.30], half_size=[0.06, 0.08, 0.04],
+                     color=DARK)
+    b.add_box_collision([0.04, 0, 0.015], half_size=[0.06, 0.08, 0.015],
+                        friction=0.6)
+    b.add_box_visual([0.04, 0, 0.015], half_size=[0.06, 0.08, 0.015],
+                     color=STEEL)
+    b.set_initial_pose(_pose(pos, yaw, z))
+    return b.build_static(name)
+
+
+def build_window(scene, name, pos, yaw=0.0, width=0.9, height=0.9, z=1.3,
+                 frame_color=WHITE):
+    """Window: frame + translucent pane set into a wall
+    (fixtures/windows.py analog; the pane renders glass-blue)."""
+    b = scene.create_actor_builder()
+    hw, hh = width / 2, height / 2
+    t = 0.03
+    for sy in (-hw, hw):
+        b.add_box_visual([0, sy, 0], half_size=[0.05, t, hh + t],
+                         color=frame_color)
+    for sz in (-hh, hh):
+        b.add_box_visual([0, 0, sz], half_size=[0.05, hw + t, t],
+                         color=frame_color)
+    b.add_box_visual([0, 0, 0], half_size=[0.01, hw, hh],
+                     color=(0.65, 0.78, 0.88, 1.0))
+    # mullions
+    b.add_box_visual([0.01, 0, 0], half_size=[0.012, 0.015, hh],
+                     color=frame_color)
+    b.add_box_visual([0.01, 0, 0], half_size=[0.012, hw, 0.015],
+                     color=frame_color)
+    b.set_initial_pose(_pose(pos, yaw, z))
+    return b.build_static(name)
+
+
 def build_wall(scene, name, pos, yaw=0.0, width=4.0, height=2.6,
                color=(0.85, 0.83, 0.78, 1.0)):
     b = scene.create_actor_builder()

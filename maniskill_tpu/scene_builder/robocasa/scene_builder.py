@@ -124,6 +124,8 @@ LAYOUTS = {
 @register_scene_builder("RoboCasa")
 class RoboCasaSceneBuilder(SceneBuilder):
     build_configs: List[str] = list(LAYOUTS)
+    # open kitchen floor, facing the y=0 counter run (+y, yaw=90deg)
+    robot_initial_pose = np.array([0.0, -1.0, 0.02, 0.7071068, 0, 0, 0.7071068])
 
     def build(self, build_config_idxs: Optional[List[int]] = None):
         idx = (build_config_idxs or [0])[0]
@@ -141,6 +143,54 @@ class RoboCasaSceneBuilder(SceneBuilder):
             if name.startswith("stove") and name in positions:
                 center, yaw = positions[name]
                 F.build_hood(scene, name + "_hood", center, yaw=yaw)
+        # second tier: uppers/shelves over counters, window over the sink,
+        # small appliances on counters (reference fixture_stack/accessories)
+        k = 0
+        for name, (center, yaw) in list(positions.items()):
+            back = center - 0.22 * np.array([np.cos(yaw), np.sin(yaw)])
+            if name.startswith("counter"):
+                if k % 2 == 0:
+                    self.fixtures[f"upper_{k}"] = F.build_upper_cabinet(
+                        scene, f"upper_{k}", back, yaw=yaw, width=0.7
+                    )
+                else:
+                    self.fixtures[f"shelf_{k}"] = F.build_open_shelf(
+                        scene, f"shelf_{k}", back, yaw=yaw, width=0.7
+                    )
+                if k == 0:
+                    self.fixtures["toaster"] = F.build_toaster(
+                        scene, "toaster",
+                        center - 0.12 * np.array([np.cos(yaw), np.sin(yaw)]),
+                        yaw=yaw,
+                    )
+                elif k == 1:
+                    self.fixtures["coffee_machine"] = F.build_coffee_machine(
+                        scene, "coffee_machine",
+                        center - 0.12 * np.array([np.cos(yaw), np.sin(yaw)]),
+                        yaw=yaw,
+                    )
+                k += 1
+            elif name.startswith("sink"):
+                self.fixtures["window"] = F.build_window(
+                    scene, "window", back - 0.12 * np.array(
+                        [np.cos(yaw), np.sin(yaw)]
+                    ), yaw=yaw
+                )
+        # named spawn regions (reference spawn-group analog): region ->
+        # (center_xy, yaw, half_extents_xy, z_top)
+        self.regions = {}
+        for name, (center, yaw) in positions.items():
+            if name.startswith("sink"):
+                self.regions["sink_basin"] = (
+                    np.asarray(center, np.float32), float(yaw),
+                    np.array([0.16, 0.24], np.float32),
+                    F.COUNTER_H - 0.11,
+                )
+            elif name.startswith("stove"):
+                self.regions["stove_top"] = (
+                    np.asarray(center, np.float32), float(yaw),
+                    np.array([0.2, 0.3], np.float32), F.COUNTER_H + 0.02,
+                )
         self.articulated = {
             k: v for k, v in self.fixtures.items()
             if hasattr(v, "active_joints")
@@ -169,6 +219,24 @@ class RoboCasaSceneBuilder(SceneBuilder):
         xy = c + jnp.stack([dx, dy], axis=-1)
         z = jnp.full((xy.shape[0], 1), F.COUNTER_H)
         return jnp.concatenate([xy, z], axis=-1)
+
+    def region_spawn_pose(self, rng, region, margin=0.02):
+        """Per-env random (B, 3) positions inside a named spawn region
+        (``self.regions``): sink_basin, stove_top, ... Falls back to a
+        counter top when the region is absent from this layout."""
+        import jax.numpy as jnp
+
+        if region not in self.regions:
+            return self.counter_spawn_pose(rng)
+        center, yaw, half, z = self.regions[region]
+        u = rng.uniform(-1.0, 1.0, (2,))
+        local = u * jnp.asarray(half - margin)
+        cos, sin = np.cos(yaw), np.sin(yaw)
+        dx = cos * local[:, 0] - sin * local[:, 1]
+        dy = sin * local[:, 0] + cos * local[:, 1]
+        xy = jnp.asarray(center) + jnp.stack([dx, dy], axis=-1)
+        zcol = jnp.full((xy.shape[0], 1), z)
+        return jnp.concatenate([xy, zcol], axis=-1)
 
     def initialize(self, env_idx, init_config_idxs=None):
         # all fixture doors closed (joints default to 0 via env reset)
