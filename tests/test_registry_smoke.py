@@ -5,8 +5,14 @@ Every registered env is constructed and stepped 5x with random actions and
 must produce finite rewards and a sim-state dict. The obs-mode x
 control-mode matrix runs on a representative stationary env. First runs pay
 a per-env compile; the persistent compilation cache (conftest) makes
-repeats cheap. Set MS_TEST_SMOKE_CORE=1 to restrict to the 2-env core set
-(for quick local iteration).
+repeats cheap.
+
+Tiers (the full 79-env sweep costs ~1 h of compiles, so it is opt-in,
+nightly-style; the default keeps one env per task family continuously
+verified):
+- default:                one representative env per family (REP_IDS)
+- MS_TEST_SMOKE_FULL=1:   every registered env
+- MS_TEST_SMOKE_CORE=1:   2-env minimal set (quick local iteration)
 """
 import os
 
@@ -18,6 +24,7 @@ import maniskill_tpu.envs  # noqa: F401
 from maniskill_tpu.utils.registration import REGISTERED_ENVS, make
 
 CORE_ONLY = bool(os.environ.get("MS_TEST_SMOKE_CORE"))
+FULL = bool(os.environ.get("MS_TEST_SMOKE_FULL"))
 # ink bodies make the drawing envs compile slowly at full budget; the smoke
 # pass exercises the mechanism with a small budget
 SMALL_KWARGS = {
@@ -26,14 +33,27 @@ SMALL_KWARGS = {
     "DrawSVG-v1": dict(max_dots=8),
 }
 
-# EVERY registered env constructs and steps — benchmarks and all
-# SceneManipulation layout variants included (round-2 verdict: the excluded
-# set contained exactly the env that broke bench.py)
+# EVERY registered env constructs and steps under MS_TEST_SMOKE_FULL=1 —
+# benchmarks and all SceneManipulation layout variants included (round-2
+# verdict: the excluded set contained exactly the env that broke bench.py)
 ALL_IDS = sorted(REGISTERED_ENVS)
 CORE_IDS = ["StackCube-v1", "MS-HopperStand-v1"]
+# default tier: one env per task family (tabletop, drawing, mobile
+# manipulation, dexterity, humanoid control, quadruped, benchmark)
+REP_IDS = [
+    "StackCube-v1",
+    "DrawTriangle-v1",
+    "OpenCabinetDrawer-v1",
+    "RotateValveLevel2-v1",
+    "MS-HopperStand-v1",
+    "AnymalC-Reach-v1",
+    "FrankaPickCubeBenchmark-v1",
+]
+REP_IDS = [e for e in REP_IDS if e in REGISTERED_ENVS]
+SMOKE_IDS = ALL_IDS if FULL else (CORE_IDS if CORE_ONLY else REP_IDS)
 
 
-@pytest.mark.parametrize("env_id", CORE_IDS if CORE_ONLY else ALL_IDS)
+@pytest.mark.parametrize("env_id", SMOKE_IDS)
 def test_registry_env_steps(env_id):
     env = make(env_id, num_envs=2, **SMALL_KWARGS.get(env_id, {}))
     base = env.unwrapped
