@@ -212,3 +212,29 @@ class Fetch(BaseAgent):
     @property
     def tcp(self):
         return self.robot.links_map["gripper_link"]
+
+    def is_grasping(self, object=None, min_force=0.5, max_angle=85.0):
+        """Dual-finger grasp check via contact force direction (reference
+        fetch.py:374-403 parity): both fingertips press the object along
+        their closing directions."""
+        import jax.numpy as jnp
+
+        from ....utils import common
+        from ....utils.geometry.rotation_conversions import quaternion_apply
+
+        l_link = self.robot.links_map["l_gripper_finger_link"]
+        r_link = self.robot.links_map["r_gripper_finger_link"]
+        l_forces = self.scene.get_pairwise_contact_forces(l_link, object)
+        r_forces = self.scene.get_pairwise_contact_forces(r_link, object)
+        lforce = jnp.linalg.norm(l_forces, axis=-1)
+        rforce = jnp.linalg.norm(r_forces, axis=-1)
+
+        # fingers open along their slide axes (l: -y, r: +y), so they CLOSE
+        # along the opposite directions
+        ldirection = quaternion_apply(l_link.pose.q, jnp.array([0.0, 1.0, 0.0]))
+        rdirection = quaternion_apply(r_link.pose.q, jnp.array([0.0, -1.0, 0.0]))
+        langle = common.compute_angle_between(ldirection, l_forces)
+        rangle = common.compute_angle_between(rdirection, r_forces)
+        lflag = (lforce >= min_force) & (jnp.rad2deg(langle) <= max_angle)
+        rflag = (rforce >= min_force) & (jnp.rad2deg(rangle) <= max_angle)
+        return lflag & rflag

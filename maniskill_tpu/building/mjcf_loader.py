@@ -3,9 +3,10 @@
 Counterpart of mani_skill/utils/building/mjcf_loader.py + _mjcf_loader.py
 (921 LoC pure-python parser). Scope: worldbody trees, nested bodies, geoms
 (box/sphere/capsule/cylinder/plane incl. ``fromto``), joints (hinge/slide/
-free), default-class attribute inheritance, inertial blocks, and worldbody
-geoms as static actors. Tendons/sensors/actuators are parsed structurally but
-not simulated yet.
+free), default-class attribute inheritance, inertial blocks, worldbody geoms
+as static actors, contype/conaffinity + geom-group collision/visual
+filtering, and <contact><exclude> body-pair filtering. Tendons/sensors/
+actuators are parsed structurally but not simulated yet.
 """
 from __future__ import annotations
 
@@ -102,6 +103,12 @@ class _Defaults:
             attrs.update(self.classes.get(c, {}).get(tag, {}))
         attrs.update(el.attrib)
         return attrs
+
+
+# MuJoCo convention (mirrored from the reference loader's visual_groups
+# default, mani_skill/utils/building/_mjcf_loader.py:172): geom groups 0/2
+# are visible, group 3 holds collision-only meshes.
+_VISUAL_GROUPS = (0, 2)
 
 
 def _geom_from_attrs(attrs: Dict[str, str]) -> Optional[ShapeSpec]:
@@ -262,8 +269,16 @@ class MJCFLoader:
                 shape = _geom_from_attrs(ga)
                 if shape is None:
                     continue
-                spec.collisions.append(shape)
-                spec.visuals.append(shape)
+                # contype/conaffinity 0/0 -> no collision shape at all
+                # (reference _mjcf_loader.py:290-294); geom group 3 is the
+                # MuJoCo collision-mesh group -> not rendered.
+                contype = int(ga.get("contype", 1))
+                conaffinity = int(ga.get("conaffinity", 1))
+                group = int(ga.get("group", 0))
+                if contype or conaffinity:
+                    spec.collisions.append(shape)
+                if group in _VISUAL_GROUPS:
+                    spec.visuals.append(shape)
             builder.add_link(spec)
             for child in body_el.findall("body"):
                 walk(child, name, cls)
@@ -276,6 +291,29 @@ class MJCFLoader:
                 actor_shapes.append(shape)
         for body in world.findall("body"):
             walk(body, None, None)
+
+        # <contact> filtering: <exclude body1 body2/> disables narrowphase
+        # between the two bodies' geoms (the reference loader leaves this as
+        # a TODO, _mjcf_loader.py:863-866; we wire it to the builder's
+        # exclude-pair machinery used for URDF self-collision filtering).
+        link_names = {l.name for l in builder.links}
+        for contact in root.findall("contact"):
+            for exc in contact.findall("exclude"):
+                b1, b2 = exc.get("body1"), exc.get("body2")
+                if b1 in link_names and b2 in link_names:
+                    builder.collision_exclude_pairs.append((b1, b2))
+                else:
+                    logger.warning(
+                        "MJCF contact/exclude references unknown body "
+                        "(%r, %r); skipped", b1, b2,
+                    )
+            for pair in contact.findall("pair"):
+                logger.warning(
+                    "MJCF contact/pair (%r, %r) not supported: collision "
+                    "filtering here is mask-subtractive (contype/conaffinity "
+                    "+ excludes); forced-include pairs are ignored",
+                    pair.get("geom1"), pair.get("geom2"),
+                )
 
         # MJCF can contain multiple top-level bodies; builder treats the
         # first as root and others as independent roots (not yet supported ->

@@ -20,6 +20,9 @@ from ...base_env import BaseEnv
 
 class _FrankaBenchmarkBase(BaseEnv):
     SUPPORTED_REWARD_MODES = ("none",)
+    # reference parity: franka_move.py:32 uses 8 position iterations,
+    # franka_pick_cube.py:45 uses 10 (examples/benchmarking/envs/maniskill/).
+    _solver_position_iterations = 8
 
     def __init__(self, *args, camera_width=128, camera_height=128, num_cameras=1, **kwargs):
         self.camera_width = camera_width
@@ -33,7 +36,9 @@ class _FrankaBenchmarkBase(BaseEnv):
         return SimConfig(
             sim_freq=100,
             control_freq=50,
-            scene_config=SceneConfig(solver_position_iterations=8),
+            scene_config=SceneConfig(
+                solver_position_iterations=self._solver_position_iterations
+            ),
         )
 
     @property
@@ -77,6 +82,8 @@ class FrankaMoveBenchmarkEnv(_FrankaBenchmarkBase):
 
 @register_env("FrankaPickCubeBenchmark-v1", max_episode_steps=200000)
 class FrankaPickCubeBenchmarkEnv(_FrankaBenchmarkBase):
+    _solver_position_iterations = 10
+
     def _load_agent(self, options):
         super()._load_agent(options, np.array([0, 0, 0, 1.0, 0, 0, 0]))
 

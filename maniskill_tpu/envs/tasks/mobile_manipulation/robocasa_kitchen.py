@@ -131,3 +131,148 @@ class RoboCasaKitchenEnv(BaseEnv):
 
     def _get_obs_extra(self, info: dict):
         return {}
+
+
+@register_env("RoboCasaOpenDrawer-v1", max_episode_steps=100)
+class RoboCasaOpenDrawerEnv(RoboCasaKitchenEnv):
+    """Open the kitchen drawer stack's top drawer past ``OPEN_MIN`` meters.
+
+    Concrete-objective variant of the RoboCasaKitchen platform (the
+    reference's kitchen tasks subclass RoboCasaKitchenEnv the same way,
+    mani_skill/envs/tasks/mobile_manipulation/robocasa/kitchen.py:27).
+    """
+    SUPPORTED_REWARD_MODES = ("none", "sparse", "dense", "normalized_dense")
+    OPEN_MIN = 0.15  # meters along the 0.4 m prismatic travel
+
+    def __init__(self, *args, **kwargs):
+        kwargs.setdefault("fixtures_only", True)
+        kwargs.setdefault("reward_mode", "dense")
+        super().__init__(*args, **kwargs)
+
+    def _load_scene(self, options: dict):
+        super()._load_scene(options)
+        stack = next(
+            (v for k, v in sorted(self.articulated.items())
+             if k.startswith("drawer_stack")), None
+        )
+        if stack is None:  # layout without a drawer stack
+            stack = next(iter(sorted(self.articulated.items())))[1]
+        self.drawer_stack = stack
+        # top drawer = highest origin z = last drawer_* joint
+        drawer_joints = [
+            j for j in stack.active_joints if "drawer" in (j.name or "")
+        ]
+        self.target_joint = (drawer_joints or stack.active_joints)[-1]
+        self.target_link = self.target_joint.child_link
+
+    def evaluate(self):
+        open_amount = self.target_joint.qpos[:, 0]
+        return dict(
+            success=open_amount >= self.OPEN_MIN,
+            open_amount=open_amount,
+        )
+
+    def _get_obs_extra(self, info: dict):
+        obs = dict(open_amount=info["open_amount"][:, None])
+        if "state" in self.obs_mode:
+            obs["drawer_pos"] = self.target_link.pose.p
+            obs["tcp_pose"] = self.agent.tcp.pose.raw_pose
+        return obs
+
+    def compute_dense_reward(self, obs, action, info):
+        tcp = self.agent.tcp.pose.p
+        # front face of the drawer bin (handle side) sits +x local; the link
+        # origin is the bin center — reach slightly in front of it
+        handle = self.target_link.pose.p
+        reach = 1.0 - jnp.tanh(5.0 * jnp.linalg.norm(handle - tcp, axis=-1))
+        open_frac = jnp.clip(info["open_amount"] / self.OPEN_MIN, 0.0, 1.0)
+        reward = reach + 4.0 * open_frac
+        return jnp.where(info["success"], reward + 2.0, reward)
+
+    def compute_normalized_dense_reward(self, obs, action, info):
+        return self.compute_dense_reward(obs, action, info) / 7.0
+
+
+@register_env("RoboCasaPnPCounterToSink-v1", max_episode_steps=200)
+class RoboCasaPnPCounterToSinkEnv(RoboCasaKitchenEnv):
+    """Pick the target object off a counter and place it in the sink basin.
+
+    Analog of the reference's RoboCasa pick-and-place family
+    (counter-to-sink variant); success = object inside the basin region and
+    near-static, the drop test the reference uses for placement tasks.
+    """
+    SUPPORTED_REWARD_MODES = ("none", "sparse", "dense", "normalized_dense")
+
+    def __init__(self, *args, **kwargs):
+        kwargs.setdefault("num_objects", 3)  # 1 target + 2 distractors
+        kwargs.setdefault("reward_mode", "dense")
+        super().__init__(*args, **kwargs)
+
+    def _load_scene(self, options: dict):
+        super()._load_scene(options)
+        self.target_object = self.objects[0]
+
+    def _initialize_episode(self, env_idx: jax.Array, options: dict):
+        super()._initialize_episode(env_idx, options)
+        sb = self.scene_builder
+        if "sink_basin" in sb.regions:
+            center, yaw, half, _ = sb.regions["sink_basin"]
+            self._sink_center = jnp.asarray(center, jnp.float32)
+            self._sink_yaw = float(yaw)
+            self._sink_half = jnp.asarray(half, jnp.float32)
+        else:  # layout without a sink: use the first counter slot
+            c, y, w = sb.counter_slots[0]
+            self._sink_center = jnp.asarray(c, jnp.float32)
+            self._sink_yaw = float(y)
+            self._sink_half = jnp.asarray([0.16, 0.24], jnp.float32)
+
+    def evaluate(self):
+        import maniskill_tpu.scene_builder.robocasa.fixtures as F
+
+        p = self.target_object.pose.p
+        rel = p[:, :2] - self._sink_center
+        cos, sin = np.cos(self._sink_yaw), np.sin(self._sink_yaw)
+        local = jnp.stack(
+            [cos * rel[:, 0] + sin * rel[:, 1],
+             -sin * rel[:, 0] + cos * rel[:, 1]], axis=-1
+        )
+        in_basin_xy = jnp.all(jnp.abs(local) <= self._sink_half, axis=-1)
+        in_basin_z = p[:, 2] < F.COUNTER_H - 0.02  # below the counter rim
+        speed = jnp.linalg.norm(self.target_object.linear_velocity, axis=-1)
+        return dict(
+            success=in_basin_xy & in_basin_z & (speed < 0.15),
+            in_basin=in_basin_xy & in_basin_z,
+            is_grasped=self.agent.is_grasping(self.target_object),
+        )
+
+    def _get_obs_extra(self, info: dict):
+        obs = dict(is_grasped=info["is_grasped"][:, None])
+        if "state" in self.obs_mode:
+            obs["obj_pose"] = self.target_object.pose.raw_pose
+            obs["tcp_pose"] = self.agent.tcp.pose.raw_pose
+            obs["sink_center"] = jnp.broadcast_to(
+                jnp.concatenate(
+                    [self._sink_center[None],
+                     jnp.zeros((1, 1), jnp.float32)], axis=-1
+                ),
+                (self.num_envs, 3),
+            )
+        return obs
+
+    def compute_dense_reward(self, obs, action, info):
+        import maniskill_tpu.scene_builder.robocasa.fixtures as F
+
+        tcp = self.agent.tcp.pose.p
+        obj = self.target_object.pose.p
+        reach = 1.0 - jnp.tanh(5.0 * jnp.linalg.norm(obj - tcp, axis=-1))
+        grasped = info["is_grasped"].astype(jnp.float32)
+        sink3 = jnp.concatenate(
+            [self._sink_center, jnp.asarray([F.COUNTER_H - 0.08])]
+        )
+        place = 1.0 - jnp.tanh(3.0 * jnp.linalg.norm(obj - sink3, axis=-1))
+        reward = reach + grasped + 2.0 * place * grasped
+        reward = jnp.where(info["in_basin"], reward + 1.0, reward)
+        return jnp.where(info["success"], reward + 2.0, reward)
+
+    def compute_normalized_dense_reward(self, obs, action, info):
+        return self.compute_dense_reward(obs, action, info) / 7.0

@@ -141,10 +141,13 @@ class SceneMesh:
                 fc = np.tile(color, (len(f), 1))
             if len(f) > 8:
                 # spatial (Morton) face order: keeps the Pallas binner's
-                # 8-face groups to tight surface patches (per-env hulls use
-                # the env-0 placeholder verts — same topology family, so the
-                # ordering stays representative)
-                order = _spatial_face_order(v if v.ndim == 2 else v[0], f)
+                # 8-face groups to tight surface patches. Per-env hulls
+                # (v.ndim == 3) order by the across-env MEAN hull so no
+                # single env's geometry dominates when variants diverge
+                # (e.g. per-env YCB hulls in RotateSingleObjectInHand L3).
+                order = _spatial_face_order(
+                    v if v.ndim == 2 else v.mean(axis=0), f
+                )
                 f = f[order]
                 fc = fc[order]
             verts_l.append(v)
